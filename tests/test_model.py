@@ -1,0 +1,187 @@
+"""Model core tests: shapes, conv/BN parity vs torch, BN folding, routing.
+
+torch (CPU) is used purely as a numerical oracle for convolution geometry —
+the model under test is the JAX pytree implementation.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolo_v3_tpu.models import darknet as D
+
+
+@pytest.fixture(scope="module")
+def tiny_net():
+    params, state = D.init_yolonet(jax.random.PRNGKey(0), num_classes=2)
+    return params, state
+
+
+class TestShapes:
+    @pytest.mark.parametrize("dim,grids", [(416, (13, 26, 52)), (320, (10, 20, 40))])
+    def test_head_shapes(self, tiny_net, dim, grids):
+        params, state = tiny_net
+        x = jnp.zeros((1, dim, dim, 3))
+        (d0, d1, d2), _ = D.apply_yolonet(params, state, x, training=False)
+        for det, g in zip((d0, d1, d2), grids):
+            assert det.shape == (1, g, g, 3 * 7)  # 3 anchors * (5+2 classes)
+
+    def test_backbone_routes(self, tiny_net):
+        params, state = tiny_net
+        x = jnp.zeros((1, 416, 416, 3))
+        (c3, c4, c5), _ = D.apply_backbone(params["backbone"], state["backbone"], x)
+        assert c3.shape == (1, 52, 52, 256)
+        assert c4.shape == (1, 26, 26, 512)
+        assert c5.shape == (1, 13, 13, 1024)
+
+    def test_conv_count_is_75(self):
+        # darknet-53 has 52 convs; yolov3 total = 75 (darknet cfg)
+        paths = D.conv_layer_paths()
+        assert len(paths) == 75
+        assert len(D.backbone_conv_paths()) == 52
+
+
+class TestTorchParity:
+    def _torch_cb(self, p, s, stride):
+        import torch
+
+        cout = p["w"].shape[3]
+        cin = p["w"].shape[2]
+        ks = p["w"].shape[0]
+        conv = torch.nn.Conv2d(cin, cout, ks, stride, (ks - 1) // 2, bias=False)
+        bn = torch.nn.BatchNorm2d(cout)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(
+                np.asarray(p["w"]).transpose(3, 2, 0, 1).copy()))
+            bn.weight.copy_(torch.from_numpy(np.asarray(p["bn"]["scale"])))
+            bn.bias.copy_(torch.from_numpy(np.asarray(p["bn"]["bias"])))
+            bn.running_mean.copy_(torch.from_numpy(np.asarray(s["mean"])))
+            bn.running_var.copy_(torch.from_numpy(np.asarray(s["var"])))
+        return conv, bn
+
+    @pytest.mark.parametrize("stride,ks", [(1, 3), (2, 3), (1, 1)])
+    def test_conv_bn_leaky_eval(self, rng, stride, ks):
+        import torch
+
+        cin, cout, hw = 4, 6, 10
+        key = jax.random.PRNGKey(1)
+        p = {
+            "w": jnp.asarray(rng.normal(size=(ks, ks, cin, cout)).astype(np.float32)) * 0.1,
+            "bn": {
+                "scale": jnp.asarray(rng.uniform(0.5, 1.5, cout).astype(np.float32)),
+                "bias": jnp.asarray(rng.normal(size=cout).astype(np.float32)),
+            },
+        }
+        s = {
+            "mean": jnp.asarray(rng.normal(size=cout).astype(np.float32)),
+            "var": jnp.asarray(rng.uniform(0.5, 2.0, cout).astype(np.float32)),
+        }
+        x = rng.normal(size=(2, hw, hw, cin)).astype(np.float32)
+
+        got, _ = D.conv_bn_leaky(p, s, jnp.asarray(x), stride=stride, training=False)
+
+        conv, bn = self._torch_cb(p, s, stride)
+        conv.eval(); bn.eval()
+        with torch.no_grad():
+            tx = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+            want = torch.nn.functional.leaky_relu(bn(conv(tx)), 0.1)
+        want = want.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+    def test_bn_running_stats_update_matches_torch(self, rng):
+        import torch
+
+        cin, cout = 3, 5
+        p = {
+            "w": jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32)) * 0.1,
+            "bn": {"scale": jnp.ones(cout), "bias": jnp.zeros(cout)},
+        }
+        s = {"mean": jnp.zeros(cout), "var": jnp.ones(cout)}
+        x = rng.normal(size=(4, 8, 8, cin)).astype(np.float32)
+
+        _, new_s = D.conv_bn_leaky(p, s, jnp.asarray(x), stride=1, training=True)
+
+        conv, bn = self._torch_cb(p, s, 1)
+        conv.train(); bn.train()
+        with torch.no_grad():
+            tx = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+            bn(conv(tx))
+        np.testing.assert_allclose(np.asarray(new_s["mean"]), bn.running_mean.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_s["var"]), bn.running_var.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_full_model_vs_torch_replica(self, tiny_net):
+        """Whole-net numerical parity: assemble the same architecture from
+        torch primitives, copy our params in, compare all 3 head outputs.
+        Catches routing/padding/upsample misalignment that unit tests miss.
+        """
+        import torch
+        import torch.nn as tnn
+        import torch.nn.functional as F
+
+        params, state = tiny_net
+
+        def cb(p, s, x, stride=1):
+            conv, bn = self._torch_cb(p, s, stride)
+            conv.eval(); bn.eval()
+            return F.leaky_relu(bn(conv(x)), 0.1)
+
+        def head(hp, hs, x):
+            y = x
+            for i in range(6):
+                y = cb(hp[f"conv{i}"], hs[f"conv{i}"], y)
+                if i == 4:
+                    branch = y
+            w = torch.from_numpy(np.asarray(hp["det"]["w"]).transpose(3, 2, 0, 1).copy())
+            b = torch.from_numpy(np.asarray(hp["det"]["b"]))
+            det = F.conv2d(y, w, b)
+            return det, branch
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0, 1, size=(1, 3, 96, 96)).astype(np.float32)
+
+        with torch.no_grad():
+            bp, bs = params["backbone"], state["backbone"]
+            y = cb(bp["stem"], bs["stem"], torch.from_numpy(x))
+            routes = []
+            for i, nblk in enumerate(D.DARKNET53_BLOCKS):
+                sp, ss = bp[f"stage{i}"], bs[f"stage{i}"]
+                y = cb(sp["down"], ss["down"], y, stride=2)
+                for bidx in range(nblk):
+                    r = cb(sp[f"res{bidx}"]["conv1"], ss[f"res{bidx}"]["conv1"], y)
+                    r = cb(sp[f"res{bidx}"]["conv2"], ss[f"res{bidx}"]["conv2"], r)
+                    y = y + r
+                if i >= 2:
+                    routes.append(y)
+            c3, c4, c5 = routes
+            det0, br0 = head(params["head0"], state["head0"], c5)
+            u = cb(params["up0"]["conv"], state["up0"]["conv"], br0)
+            u = F.interpolate(u, scale_factor=2, mode="nearest")
+            det1, br1 = head(params["head1"], state["head1"], torch.cat([u, c4], 1))
+            u = cb(params["up1"]["conv"], state["up1"]["conv"], br1)
+            u = F.interpolate(u, scale_factor=2, mode="nearest")
+            det2, _ = head(params["head2"], state["head2"], torch.cat([u, c3], 1))
+
+        (g0, g1, g2), _ = D.apply_yolonet(
+            params, state, jnp.asarray(x.transpose(0, 2, 3, 1)), training=False
+        )
+        for got, want in ((g0, det0), (g1, det1), (g2, det2)):
+            np.testing.assert_allclose(
+                np.asarray(got),
+                want.numpy().transpose(0, 2, 3, 1),
+                rtol=2e-3, atol=2e-4,
+            )
+
+
+class TestBNFolding:
+    def test_folded_matches_eval(self, tiny_net):
+        params, state = tiny_net
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.uniform(0, 1, size=(1, 96, 96, 3)).astype(np.float32))
+        want, _ = D.apply_yolonet(params, state, x, training=False)
+        folded = D.fold_batchnorm(params, state)
+        got = D.apply_yolonet_folded(folded, x)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=3e-4)
