@@ -1,0 +1,141 @@
+"""Postprocess/NMS tests vs an independent numpy implementation of the
+reference's greedy per-class NMS semantics (reference utils.py:148-258)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from yolo_v3_tpu.ops.postprocess import postprocess, detections_to_lists
+
+
+def np_reference_postprocess(dets, num_classes, conf_thr, nms_thr, is_eval):
+    """Golden model: per image, per class greedy NMS in score order."""
+    out = []
+    for det in dets:
+        boxes = det[:, :4].copy()  # cxcywh
+        x1 = boxes[:, 0] - boxes[:, 2] / 2
+        y1 = boxes[:, 1] - boxes[:, 3] / 2
+        x2 = boxes[:, 0] + boxes[:, 2] / 2
+        y2 = boxes[:, 1] + boxes[:, 3] / 2
+        corners = np.stack([x1, y1, x2, y2], -1)
+        obj = det[:, 4]
+        probs = det[:, 5:5 + num_classes] * obj[:, None]
+
+        rows = []
+        if is_eval:
+            cand = [(i, c, probs[i, c]) for i in range(len(det))
+                    for c in range(num_classes) if probs[i, c] > conf_thr]
+        else:
+            cand = []
+            for i in range(len(det)):
+                c = int(np.argmax(probs[i]))
+                if probs[i, c] > conf_thr:
+                    cand.append((i, c, probs[i, c]))
+
+        for c in sorted(set(c for _, c, _ in cand)):
+            cls_cand = sorted([x for x in cand if x[1] == c],
+                              key=lambda t: -t[2])
+            kept = []
+            for i, _, s in cls_cand:
+                suppressed = False
+                for j in kept:
+                    if iou(corners[i], corners[j]) > nms_thr:
+                        suppressed = True
+                        break
+                if not suppressed:
+                    kept.append(i)
+                    rows.append([*corners[i], obj[i], s, c])
+        out.append(np.array(rows).reshape(-1, 7))
+    return out
+
+
+def iou(a, b):
+    ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+    ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / ua
+
+
+def rows_set(rows):
+    """Order-independent comparison key: rounded float64 tuples sorted."""
+    return sorted(tuple(np.round(np.asarray(r, np.float64), 3).tolist()) for r in rows)
+
+
+def make_dets(rng, n=40, num_classes=4, sharp=True):
+    det = np.zeros((n, 5 + num_classes), np.float32)
+    det[:, 0:2] = rng.uniform(50, 350, (n, 2))
+    det[:, 2:4] = rng.uniform(20, 120, (n, 2))
+    det[:, 4] = rng.uniform(0, 1, n)
+    cls = rng.uniform(0, 1, (n, num_classes))
+    if sharp:
+        # avoid near-tie argmax/threshold edge cases in parity tests
+        cls = cls ** 3
+    det[:, 5:] = cls
+    return det
+
+
+class TestNMSParity:
+    @pytest.mark.parametrize("is_eval,conf,nms", [(False, 0.5, 0.4), (True, 0.1, 0.45)])
+    def test_matches_reference_semantics(self, rng, is_eval, conf, nms):
+        dets = np.stack([make_dets(rng) for _ in range(3)])
+        got = detections_to_lists(
+            postprocess(jnp.asarray(dets), 4, conf, nms, is_eval, True,
+                        pre_nms_topk=256, max_detections=192)
+        )
+        want = np_reference_postprocess(dets, 4, conf, nms, is_eval)
+        for g, w in zip(got, want):
+            assert rows_set(g) == rows_set(w)
+
+    def test_sorted_by_score(self, rng):
+        dets = np.stack([make_dets(rng)])
+        got = detections_to_lists(postprocess(jnp.asarray(dets), 4, 0.2, 0.4))[0]
+        scores = got[:, 5]
+        assert np.all(np.diff(scores) <= 1e-6)
+
+    def test_no_candidates_gives_empty(self):
+        dets = np.zeros((1, 20, 9), np.float32)
+        dets[..., 4] = 0.01  # low obj
+        dets[..., 5:] = 0.01
+        got = detections_to_lists(postprocess(jnp.asarray(dets), 4, 0.5, 0.4))[0]
+        assert got.shape == (0, 7)
+
+    def test_identical_boxes_suppress_to_one(self):
+        det = np.zeros((10, 9), np.float32)
+        det[:, 0:4] = [100, 100, 50, 50]
+        det[:, 4] = np.linspace(0.9, 0.99, 10)
+        det[:, 5] = 0.9  # all class 0
+        got = detections_to_lists(postprocess(jnp.asarray(det[None]), 4, 0.5, 0.4))[0]
+        assert len(got) == 1
+        assert got[0, 4] == pytest.approx(0.99, abs=1e-5)  # highest obj won
+
+    def test_cross_class_not_suppressed(self):
+        det = np.zeros((2, 9), np.float32)
+        det[:, 0:4] = [100, 100, 50, 50]
+        det[:, 4] = 0.9
+        det[0, 5] = 0.9  # class 0
+        det[1, 6] = 0.9  # class 1 — same box, different class
+        got = detections_to_lists(postprocess(jnp.asarray(det[None]), 4, 0.5, 0.4))[0]
+        assert len(got) == 2
+        assert set(got[:, 6].astype(int)) == {0, 1}
+
+    def test_use_nms_false_returns_raw_topk(self, rng):
+        dets = np.stack([make_dets(rng)])
+        got = detections_to_lists(
+            postprocess(jnp.asarray(dets), 4, 0.2, 0.4, use_nms=False)
+        )[0]
+        want = np_reference_postprocess(dets, 4, 0.2, 1.1, False)[0]  # thr>1: no suppression
+        assert rows_set(got) == rows_set(want)
+
+    def test_max_detections_cap(self, rng):
+        det = np.zeros((300, 9), np.float32)
+        det[:, 0] = np.arange(300) * 200.0 + 100  # far apart, no overlap
+        det[:, 1] = 100
+        det[:, 2:4] = 50
+        det[:, 4] = 0.9
+        det[:, 5] = 0.9
+        got = detections_to_lists(
+            postprocess(jnp.asarray(det[None]), 4, 0.5, 0.4,
+                        pre_nms_topk=256, max_detections=32)
+        )[0]
+        assert len(got) == 32

@@ -1,0 +1,170 @@
+"""High-level detection API: images in, boxes out — one jit, one round-trip.
+
+Equivalent of the reference's ``test.predict`` flow (reference test.py:28-46)
+redesigned TPU-first: the reference letterboxes on host, runs the net on
+device, then ships raw detections back to host for Python NMS and box
+correction.  Here letterbox (optional), forward, decode, NMS, and
+letterbox-reversal all execute inside a single compiled function; only the
+final fixed-shape [B, M, 8] result crosses back to the host.
+
+Output rows per image: [cls, x, y, w, h, prob, obj] with xywh in
+original-image pixels — the first five columns match the reference's
+``predict`` output rows (test.py:42-46).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_v3_tpu.models import darknet as D
+from yolo_v3_tpu.models import weights as W
+from yolo_v3_tpu.ops import boxes as B
+from yolo_v3_tpu.ops.decode import decode_all
+from yolo_v3_tpu.ops.letterbox import letterbox_device, letterbox_host
+from yolo_v3_tpu.ops.postprocess import detections_to_lists, postprocess
+from yolo_v3_tpu.utils.config import YoloConfig
+
+
+def detect_fn(
+    params,
+    x: jnp.ndarray,
+    org_dims: jnp.ndarray,
+    config: YoloConfig,
+    conf_thr: float,
+    nms_thr: float,
+    is_eval: bool = False,
+    use_nms: bool = True,
+    is_letterbox: bool = True,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Jittable device pipeline on BN-folded params.
+
+    ``x``: [B, H, W, 3] float (already letterboxed/resized to net input),
+    ``org_dims``: [B, 2] (org_w, org_h) for mapping boxes back.
+    Returns [B, M, 8]: x, y, w, h (original-image pixels), obj, prob, cls,
+    valid.
+    """
+    img_dim = x.shape[1]
+    raws = D.apply_yolonet_folded(params, x.astype(compute_dtype))
+    det = decode_all(raws, config, img_dim)
+    res = postprocess(
+        det,
+        num_classes=config.num_classes,
+        conf_thr=conf_thr,
+        nms_thr=nms_thr,
+        is_eval=is_eval,
+        use_nms=use_nms,
+        pre_nms_topk=config.pre_nms_topk,
+        max_detections=config.max_detections,
+    )
+
+    def correct(row, org):
+        xywh = B.correct_yolo_boxes(
+            row[:, :4], org[0], org[1], img_dim, img_dim, is_letterbox=is_letterbox
+        )
+        return jnp.concatenate([xywh, row[:, 4:]], axis=-1)
+
+    return jax.vmap(correct)(res, org_dims.astype(jnp.float32))
+
+
+class Detector:
+    """Stateful convenience wrapper: holds folded params and a jit cache.
+
+    ``precision``: "bf16" (default, MXU speed) or "fp32".
+    """
+
+    def __init__(
+        self,
+        params,
+        state,
+        config: YoloConfig = YoloConfig(),
+        precision: str = "bf16",
+        letterbox: bool = True,
+        resize_on_device: bool = True,
+    ):
+        self.config = config
+        self.letterbox = letterbox
+        self.resize_on_device = resize_on_device
+        self.compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        folded = D.fold_batchnorm(params, state)
+        self.params = D.cast_params(folded, self.compute_dtype)
+        self._jitted = {}
+
+    # -- constructors -----------------------------------------------------
+
+    @classmethod
+    def from_darknet_weights(
+        cls, path: str, config: YoloConfig = YoloConfig(), **kw
+    ) -> "Detector":
+        params, state = D.init_yolonet(jax.random.PRNGKey(0), config.num_classes)
+        params, state, _, _ = W.load_darknet_weights(params, state, path)
+        return cls(params, state, config, **kw)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, config: YoloConfig = YoloConfig(), **kw) -> "Detector":
+        tree, _ = W.load_pytree(path)
+        return cls(tree["params"], tree["state"], config, **kw)
+
+    # -- inference --------------------------------------------------------
+
+    def _pipeline(self, conf_thr, nms_thr, is_eval, use_nms):
+        key = (conf_thr, nms_thr, is_eval, use_nms)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                functools.partial(
+                    detect_fn,
+                    config=self.config,
+                    conf_thr=conf_thr,
+                    nms_thr=nms_thr,
+                    is_eval=is_eval,
+                    use_nms=use_nms,
+                    is_letterbox=self.letterbox,
+                    compute_dtype=self.compute_dtype,
+                )
+            )
+        return self._jitted[key]
+
+    def preprocess(self, images: Sequence[np.ndarray], dim: Optional[int] = None):
+        """HWC uint8 RGB images -> ([B, dim, dim, 3] float32, org_dims [B, 2])."""
+        dim = dim or self.config.img_dim
+        org = np.array([[im.shape[1], im.shape[0]] for im in images], np.float32)
+        if self.resize_on_device:
+            batch = jnp.stack(
+                [letterbox_device(jnp.asarray(im), (dim, dim)) for im in images]
+            )
+        else:
+            batch = jnp.stack([jnp.asarray(letterbox_host(im, (dim, dim))) for im in images])
+        return batch, jnp.asarray(org)
+
+    def detect(
+        self,
+        images: Sequence[np.ndarray],
+        conf_thr: Optional[float] = None,
+        nms_thr: Optional[float] = None,
+        is_eval: bool = False,
+        use_nms: bool = True,
+        dim: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """Detect objects in HWC uint8 RGB images.
+
+        Returns, per image, a [n, 7] array of rows
+        [cls, x, y, w, h, prob, obj] in original-image pixel coordinates.
+        """
+        conf_thr = self.config.eval_conf_thr if (is_eval and conf_thr is None) else (
+            conf_thr if conf_thr is not None else self.config.conf_thr
+        )
+        nms_thr = self.config.eval_nms_thr if (is_eval and nms_thr is None) else (
+            nms_thr if nms_thr is not None else self.config.nms_thr
+        )
+        x, org = self.preprocess(images, dim)
+        res = self._pipeline(conf_thr, nms_thr, is_eval, use_nms)(self.params, x, org)
+        out = []
+        for rows in detections_to_lists(res):
+            # reorder [x y w h obj prob cls] -> [cls x y w h prob obj]
+            out.append(rows[:, [6, 0, 1, 2, 3, 5, 4]])
+        return out
