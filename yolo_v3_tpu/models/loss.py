@@ -1,0 +1,268 @@
+"""YOLOv3 training loss: target construction + masked MSE/BCE terms.
+
+Vectorized, jit-compatible re-implementation of the reference YoloLayer
+training path (reference yololayer.py:31-172), which loops over ground
+truths in Python on the host per step.  Semantics are preserved exactly —
+including the quirks (SURVEY.md §7 hard part (f)):
+
+* labels are consumed as the *prefix* of non-zero rows: the reference
+  ``break``s at the first all-zero row (yololayer.py:127), so trailing rows
+  after a zero row are ignored even if non-zero,
+* noobj mask is zeroed where ANY prediction box overlaps a GT with
+  IoU > ignore_thres (yololayer.py:138-143) — an assigned cell can still
+  carry a live noobj term, exactly as in the reference,
+* best anchor is the argmax wh-IoU over all 9 anchors, and the GT trains a
+  cell only in the scale that owns that anchor (yololayer.py:145-153), so
+  each GT trains exactly one anchor across the 3 scales,
+* later GTs overwrite earlier ones at the same cell (sequential writes) —
+  reproduced with an ordered fori_loop scatter,
+* masked BCE multiplies predictions by the mask *before* the BCE
+  (yololayer.py:87-89): masked-out cells contribute BCE(0,0)=0 and no
+  gradient; we do not "fix" this,
+* all reductions are sums (yololayer.py:27-28), so gradient accumulation
+  over subdivisions equals one large batch,
+* coordinate-loss weight sqrt(2 - w*h) boosts small objects
+  (yololayer.py:162).
+
+``nCorrect`` counts assigned GTs whose (detached) predicted box at the
+assigned cell has IoU > 0.5 (yololayer.py:154-160); recall = nCorrect/nGT.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from yolo_v3_tpu.ops import boxes as B
+from yolo_v3_tpu.ops.decode import raw_to_predictions
+from yolo_v3_tpu.utils.config import YoloConfig
+
+STAT_KEYS = (
+    "loss", "loss_x", "loss_y", "loss_w", "loss_h", "loss_conf", "loss_cls",
+    "nCorrect", "nGT", "recall",
+)
+
+
+def _safe_log(x: jnp.ndarray) -> jnp.ndarray:
+    """log clamped at -100 (torch.nn.BCELoss semantics, yololayer.py:28),
+    written so the x==0 branch takes a constant — a bare
+    ``maximum(log(0), -100)`` still produces NaN gradients (inf * 0)."""
+    pos = jnp.where(x > 0, x, 1.0)
+    return jnp.where(x > 0, jnp.maximum(jnp.log(pos), -100.0), -100.0)
+
+
+def _bce_elem(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Element-wise binary cross-entropy with clamped logs."""
+    return -(target * _safe_log(pred) + (1.0 - target) * _safe_log(1.0 - pred))
+
+
+def _bce_sum(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(_bce_elem(pred, target))
+
+
+def build_targets_single(
+    pred_boxes: jnp.ndarray,   # [A, H, W, 4] decoded boxes, grid units (detached)
+    labels: jnp.ndarray,       # [T, 5] rows (cls, cx, cy, w, h) relative
+    anchors_all: jnp.ndarray,  # [9, 2] grid units
+    anchor_mask: Tuple[int, ...],
+    num_classes: int,
+    ignore_thres: float,
+):
+    """One image's target tensors (reference build_target_tensor,
+    yololayer.py:107-172), vectorized except for the ordered 'last GT wins'
+    scatter which runs as a static-bound fori_loop."""
+    nA, nH, nW = pred_boxes.shape[0], pred_boxes.shape[1], pred_boxes.shape[2]
+    T = labels.shape[0]
+
+    # prefix-of-nonzero-rows validity (the reference's `break`)
+    nonzero = jnp.sum(labels, axis=1) != 0
+    valid = jnp.cumprod(nonzero.astype(jnp.int32)) == 1
+
+    gcls = labels[:, 0].astype(jnp.int32)
+    gx = labels[:, 1] * nW
+    gy = labels[:, 2] * nH
+    gw = labels[:, 3] * nW
+    gh = labels[:, 4] * nH
+    gi = jnp.clip(gx.astype(jnp.int32), 0, nW - 1)
+    gj = jnp.clip(gy.astype(jnp.int32), 0, nH - 1)
+
+    # ---- noobj ignore mask: any pred box overlapping any valid GT --------
+    gt_boxes = jnp.stack([gx, gy, gw, gh], axis=-1)                    # [T, 4]
+    ious = B.iou_matrix(pred_boxes.reshape(-1, 4), gt_boxes, mode="cxcywh")
+    ious = jnp.where(valid[None, :], ious, 0.0)
+    ious = jnp.nan_to_num(ious, nan=0.0)
+    ignore = jnp.any(ious > ignore_thres, axis=1).reshape(nA, nH, nW)
+    noobj_mask = jnp.where(ignore, 0.0, 1.0)
+
+    # ---- best anchor over ALL 9, owned by this scale ---------------------
+    wh = jnp.stack([gw, gh], axis=-1)                                  # [T, 2]
+    anchor_iou = B.wh_iou(wh, anchors_all)                             # [T, 9]
+    anchor_iou = jnp.nan_to_num(anchor_iou, nan=0.0)
+    best_anchor = jnp.argmax(anchor_iou, axis=1)                       # [T]
+    mask_arr = jnp.asarray(anchor_mask)
+    owned = jnp.any(best_anchor[:, None] == mask_arr[None, :], axis=1)
+    # local index within this scale (position in anchor_mask)
+    local_a = jnp.argmax(best_anchor[:, None] == mask_arr[None, :], axis=1)
+    write = valid & owned
+
+    # targets: tx = gx - gi etc. (yololayer.py:166-169)
+    anchors_scale = anchors_all[mask_arr]                              # [A, 2]
+    aw = anchors_scale[local_a, 0]
+    ah = anchors_scale[local_a, 1]
+    t_x = gx - gi
+    t_y = gy - gj
+    t_w = jnp.log(gw / aw + 1e-16)
+    t_h = jnp.log(gh / ah + 1e-16)
+    coord_w = jnp.sqrt(2.0 - labels[:, 3] * labels[:, 4])
+
+    # per-GT correctness: IoU of the assigned cell's pred box vs this GT
+    cell_pred = pred_boxes[local_a, gj, gi]                            # [T, 4]
+    cell_iou = B.iou_pairwise(cell_pred, gt_boxes, mode="cxcywh")
+    cell_iou = jnp.nan_to_num(cell_iou, nan=0.0)
+    n_correct = jnp.sum((write & (cell_iou > 0.5)).astype(jnp.float32))
+    n_gt = jnp.sum(write.astype(jnp.float32))
+
+    # ---- ordered scatter: later GTs overwrite earlier -------------------
+    zeros = jnp.zeros((nA, nH, nW), jnp.float32)
+    tgt0 = {
+        "obj": zeros,
+        "coord": zeros,
+        "tconf": zeros,
+        "tx": zeros,
+        "ty": zeros,
+        "tw": zeros,
+        "th": zeros,
+        "tcls": jnp.zeros((nA, nH, nW, num_classes), jnp.float32),
+    }
+
+    def body(t, tgt):
+        f = write[t]
+        a, j, i = local_a[t], gj[t], gi[t]
+
+        def put(arr, val):
+            old = arr[a, j, i]
+            return arr.at[a, j, i].set(jnp.where(f, val, old))
+
+        tgt = dict(tgt)
+        tgt["obj"] = put(tgt["obj"], 1.0)
+        tgt["coord"] = put(tgt["coord"], coord_w[t])
+        tgt["tconf"] = put(tgt["tconf"], 1.0)
+        tgt["tx"] = put(tgt["tx"], t_x[t])
+        tgt["ty"] = put(tgt["ty"], t_y[t])
+        tgt["tw"] = put(tgt["tw"], t_w[t])
+        tgt["th"] = put(tgt["th"], t_h[t])
+        onehot = jax.nn.one_hot(gcls[t], num_classes)
+        old_cls = tgt["tcls"][a, j, i]
+        tgt["tcls"] = tgt["tcls"].at[a, j, i].set(jnp.where(f, onehot, old_cls))
+        return tgt
+
+    tgt = jax.lax.fori_loop(0, T, body, tgt0)
+    return tgt, noobj_mask, n_correct, n_gt
+
+
+def yolo_layer_loss(
+    raw: jnp.ndarray,          # [B, H, W, A*(5+C)]
+    labels: jnp.ndarray,       # [B, T, 5]
+    config: YoloConfig,
+    anchor_mask: Tuple[int, ...],
+    img_dim: int,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One scale's loss (reference YoloLayer.forward training branch,
+    yololayer.py:64-95)."""
+    nB = raw.shape[0]
+    nA = len(anchor_mask)
+    nH, nW = raw.shape[1], raw.shape[2]
+    stride = img_dim / nH
+    C = config.num_classes
+
+    p = raw_to_predictions(raw.astype(jnp.float32), nA, 5 + C)
+    # [B, H, W, A, .] -> [B, A, H, W, .] to mirror the reference layout
+    p = jnp.moveaxis(p, 3, 1)
+
+    preds_xy = jax.nn.sigmoid(p[..., 0:2])
+    preds_wh = p[..., 2:4]
+    preds_conf = jax.nn.sigmoid(p[..., 4])
+    preds_cls = jax.nn.sigmoid(p[..., 5:])
+
+    # decoded boxes in grid units, gradient-detached (yololayer.py:57-59)
+    cx = jax.lax.broadcasted_iota(jnp.float32, (nH, nW), 1)[None, None]
+    cy = jax.lax.broadcasted_iota(jnp.float32, (nH, nW), 0)[None, None]
+    anchors_all = jnp.asarray(config.anchors, jnp.float32) / stride     # [9, 2]
+    anchors_scale = anchors_all[jnp.asarray(anchor_mask)]
+    pred_boxes = jnp.stack(
+        [
+            preds_xy[..., 0] + cx,
+            preds_xy[..., 1] + cy,
+            jnp.exp(preds_wh[..., 0]) * anchors_scale[None, :, None, None, 0],
+            jnp.exp(preds_wh[..., 1]) * anchors_scale[None, :, None, None, 1],
+        ],
+        axis=-1,
+    )
+    pred_boxes = jax.lax.stop_gradient(pred_boxes)
+
+    build = functools.partial(
+        build_targets_single,
+        anchors_all=anchors_all,
+        anchor_mask=anchor_mask,
+        num_classes=C,
+        ignore_thres=config.ignore_thres,
+    )
+    tgt, noobj_mask, n_correct, n_gt = jax.vmap(build)(pred_boxes, labels)
+    obj_mask = tgt["obj"]
+    coord = tgt["coord"]
+
+    def mse_half(pred, target):
+        return jnp.sum((pred * coord - target * coord) ** 2) / 2.0
+
+    loss_x = config.lambda_xy * mse_half(preds_xy[..., 0], tgt["tx"])
+    loss_y = config.lambda_xy * mse_half(preds_xy[..., 1], tgt["ty"])
+    loss_w = config.lambda_wh * mse_half(preds_wh[..., 0], tgt["tw"])
+    loss_h = config.lambda_wh * mse_half(preds_wh[..., 1], tgt["th"])
+
+    loss_conf = config.lambda_conf * (
+        config.obj_scale * _bce_sum(preds_conf * obj_mask, obj_mask)
+        + config.noobj_scale * _bce_sum(preds_conf * noobj_mask,
+                                        jnp.zeros_like(noobj_mask))
+    )
+    # class BCE only over assigned cells (yololayer.py:90): mask*bce == select
+    loss_cls = config.lambda_cls * jnp.sum(
+        obj_mask[..., None] * _bce_elem(preds_cls, tgt["tcls"])
+    )
+
+    loss = loss_x + loss_y + loss_w + loss_h + loss_conf + loss_cls
+    stats = {
+        "loss": loss / nB,
+        "loss_x": loss_x / nB,
+        "loss_y": loss_y / nB,
+        "loss_w": loss_w / nB,
+        "loss_h": loss_h / nB,
+        "loss_conf": loss_conf / nB,
+        "loss_cls": loss_cls / nB,
+        "nCorrect": jnp.sum(n_correct),
+        "nGT": jnp.sum(n_gt),
+    }
+    return loss, stats
+
+
+def yolo_loss(
+    raws: Sequence[jnp.ndarray],
+    labels: jnp.ndarray,
+    config: YoloConfig,
+    img_dim: int,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total loss over all scales + summed stats (reference YoloNet.forward
+    training branch, darknet.py:225-229)."""
+    total = 0.0
+    stats: Dict[str, jnp.ndarray] = {}
+    for raw, mask in zip(raws, config.anchor_masks):
+        l, s = yolo_layer_loss(raw, labels, config, mask, img_dim)
+        total = total + l
+        for k, v in s.items():
+            stats[k] = stats.get(k, 0.0) + v
+    stats["recall"] = jnp.where(
+        stats["nGT"] > 0, stats["nCorrect"] / jnp.maximum(stats["nGT"], 1.0), 0.0
+    )
+    return total, stats
