@@ -1,0 +1,89 @@
+"""Benchmark harness: YOLOv3-416 batched inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+auxiliary numbers in "extra".  The flow measured is the full serving path on
+device — BN-folded bf16 forward, fused decode, on-device NMS — ending with a
+host readback of the compact [B, M, 8] result.
+
+Timing notes for this environment: the axon backend's ``block_until_ready``
+returns before device execution completes, so every measurement here is
+synchronized by an actual host readback of (part of) the output.  NMS cost
+is reported as the delta between the full pipeline and forward+decode, both
+measured the same way.
+
+Baseline: 5000 imgs/sec/chip (BASELINE.md north star for TPU v5e).
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMGS_PER_SEC = 5000.0
+
+
+def _sync(tree):
+    """Force real device synchronization via a tiny host readback."""
+    return np.asarray(jax.tree.leaves(tree)[0].ravel()[0:1])
+
+
+def timeit(fn, inputs, iters=20):
+    _sync(fn(inputs[0]))  # compile + warm
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(inputs[i % len(inputs)])
+    _sync(out)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def main():
+    from yolo_v3_tpu.models import darknet as D
+    from yolo_v3_tpu.ops.decode import decode_all
+    from yolo_v3_tpu.ops.postprocess import postprocess_from_raws
+    from yolo_v3_tpu.utils.config import YoloConfig
+
+    config = YoloConfig()
+    params, state = D.init_yolonet(jax.random.PRNGKey(0), config.num_classes)
+    folded = D.cast_params(D.fold_batchnorm(params, state), jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    results = {}
+    best = 0.0
+    for batch in (32, 64):
+        xs = [
+            jnp.asarray(rng.uniform(0, 1, (batch, 416, 416, 3)).astype(np.float32))
+            .astype(jnp.bfloat16)
+            for _ in range(2)
+        ]
+
+        full = jax.jit(lambda x: postprocess_from_raws(
+            D.apply_yolonet_folded(folded, x), config, 416,
+            config.conf_thr, config.nms_thr,
+        ))
+        ms = timeit(full, xs)
+        ips = batch / ms * 1e3
+        results[f"bs{batch}_imgs_per_sec"] = round(ips, 1)
+        results[f"bs{batch}_ms_per_batch"] = round(ms, 2)
+        best = max(best, ips)
+
+        if batch == 64:
+            fwd = jax.jit(lambda x: D.apply_yolonet_folded(folded, x))
+            ms_f = timeit(fwd, xs)
+            results["bs64_forward_ms"] = round(ms_f, 2)
+            # decode + NMS cost of the fused postprocess path
+            results["nms_ms_batch64"] = round(max(ms - ms_f, 0.0), 3)
+            results["nms_ms_per_image"] = round(max(ms - ms_f, 0.0) / batch, 4)
+
+    print(json.dumps({
+        "metric": "imgs_per_sec_per_chip_yolov3_416_bf16_e2e",
+        "value": round(best, 1),
+        "unit": "imgs/sec",
+        "vs_baseline": round(best / BASELINE_IMGS_PER_SEC, 3),
+        "extra": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

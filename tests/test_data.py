@@ -1,0 +1,241 @@
+"""Data engine tests: deterministic scheduling, resume, transforms, loader."""
+
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from yolo_v3_tpu.data.datasets import CVATDataset, ListDataset, image_path_to_label_path
+from yolo_v3_tpu.data.loader import DataHelper, collate
+from yolo_v3_tpu.data.sampler import CyclicSampler
+from yolo_v3_tpu.data import transforms as T
+from yolo_v3_tpu.ops.boxes import letterbox_params
+
+
+@pytest.fixture(scope="module")
+def coco_dir(tmp_path_factory):
+    """Synthetic COCO-layout dataset: 10 images + label txts + list file."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("coco")
+    img_dir = root / "images"
+    lbl_dir = root / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    rng = np.random.default_rng(42)
+    paths = []
+    for i in range(10):
+        h, w = int(rng.integers(80, 160)), int(rng.integers(80, 160))
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        p = img_dir / f"img_{i:04d}.jpg"
+        cv2.imwrite(str(p), img)
+        n = int(rng.integers(1, 4))
+        rows = np.zeros((n, 5), np.float32)
+        rows[:, 0] = rng.integers(0, 3, n)
+        rows[:, 1:3] = rng.uniform(0.3, 0.7, (n, 2))
+        rows[:, 3:5] = rng.uniform(0.1, 0.3, (n, 2))
+        np.savetxt(str(lbl_dir / f"img_{i:04d}.txt"), rows, fmt="%.6f")
+        paths.append(str(p))
+    list_file = root / "train.txt"
+    list_file.write_text("\n".join(paths) + "\n")
+    return str(list_file)
+
+
+class TestCyclicSampler:
+    def test_same_seed_same_schedule(self):
+        a = CyclicSampler(10, 4, seed=7)
+        b = CyclicSampler(10, 4, seed=7)
+        assert a.indices == b.indices and a.rands == b.rands and a.dims == b.dims
+
+    def test_cyclic_carries_leftovers(self):
+        s = CyclicSampler(10, 4, seed=0)  # epoch = 8 samples, 2 left over
+        assert len(s) == 8
+        first_epoch = list(s.indices)
+        leftover = list(s.indices_queue)
+        assert len(leftover) == 2
+        s.randomize()
+        # next epoch starts with the carried-over indices
+        assert s.indices[:2] == leftover
+        assert sorted(first_epoch + leftover) == sorted(range(10))
+
+    def test_dims_are_multiples_of_32_and_held(self):
+        s = CyclicSampler(64, 4, seed=1, rand_dim_interval=8)
+        dims = [d[0] for d in s.dims]
+        assert all(d % 32 == 0 and 320 <= d <= 608 for d in dims)
+        for i in range(0, len(dims) - 8, 8):
+            assert len(set(dims[i:i + 8])) == 1
+
+    def test_fixed_dim(self):
+        s = CyclicSampler(10, 2, seed=0, dim=(416, 416))
+        assert all(d == (416, 416) for d in s.dims)
+
+    def test_state_roundtrip_continues_identically(self):
+        a = CyclicSampler(10, 4, seed=3)
+        sd = a.state_dict()
+        a.randomize()
+
+        b = CyclicSampler(10, 4, seed=99)  # different seed; state overrides
+        b.load_state_dict(sd)
+        b.randomize()
+        assert a.indices == b.indices and a.rands == b.rands and a.dims == b.dims
+
+    def test_trimm_fast_forward(self):
+        a = CyclicSampler(20, 4, seed=5)
+        remaining = a.indices[8:]
+        a.trimm(batch_idx=2)  # consumed 2 batches of 4
+        assert a.indices == remaining
+
+    def test_trimm_epoch_boundary_clears(self):
+        a = CyclicSampler(20, 4, seed=5)  # 5 batches/epoch
+        a.trimm(batch_idx=5)
+        assert len(a) == 0
+
+
+class TestTransforms:
+    def _sample(self, rng, h=100, w=140):
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        label = np.array([[1, 0.5, 0.5, 0.4, 0.3]], np.float32)
+        return {"img": img, "org_img": img.copy(), "label": label,
+                "rng": np.random.default_rng(77)}
+
+    def test_determinism_same_seed(self, rng):
+        t = T.training_transform((64, 64))
+        s1 = t(self._sample(rng))
+        s2 = t({**self._sample(rng)})
+        # rebuild identical inputs with same per-sample seed
+        rng2 = np.random.default_rng(0)
+        a = self._sample(np.random.default_rng(5))
+        b = {"img": a["img"].copy(), "org_img": a["org_img"].copy(),
+             "label": a["label"].copy(), "rng": np.random.default_rng(77)}
+        out_a = T.training_transform((64, 64))(a)
+        out_b = T.training_transform((64, 64))(b)
+        np.testing.assert_array_equal(out_a["img"], out_b["img"])
+        np.testing.assert_array_equal(out_a["label"], out_b["label"])
+
+    def test_letterbox_label_geometry(self, rng):
+        s = self._sample(rng, h=100, w=200)
+        out = T.Compose([T.Letterbox((64, 64))])(s)
+        img = out["img"]
+        assert img.shape == (64, 64, 3)
+        rw, rh, xp, yp, ratio = letterbox_params(200, 100, 64, 64)
+        # top/bottom pad rows are gray
+        assert np.all(img[:yp] == 128) and np.all(img[yp + rh:] == 128)
+        # label center maps to the padded box center
+        lab = out["label"][0]
+        want_cx = (0.5 * 200 * ratio + xp) / 64
+        want_cy = (0.5 * 100 * ratio + yp) / 64
+        np.testing.assert_allclose([lab[1], lab[2]], [want_cx, want_cy], atol=1e-3)
+        np.testing.assert_allclose(out["lb_reverter"], [200, 100, rw, rh, xp, yp])
+
+    def test_flip_label(self, rng):
+        s = self._sample(rng)
+        s["label"] = np.array([[0, 0.3, 0.4, 0.2, 0.2]], np.float32)
+        s["rng"] = np.random.default_rng(1)  # first random() < 0.5 -> flips?
+        flipped_img = s["img"][:, ::-1].copy()
+        out = T.RandomHorizontalFlip(p=1.1)(s)  # force flip
+        np.testing.assert_array_equal(out["img"], flipped_img)
+        np.testing.assert_allclose(out["label"][0][1], 0.7, atol=1e-6)
+
+    def test_jitter_crop_boxes_stay_valid(self, rng):
+        for seed in range(10):
+            s = self._sample(rng)
+            s["rng"] = np.random.default_rng(seed)
+            out = T.RandomJitterCrop(jitter=0.3)(s)
+            lab = out["label"]
+            if lab is not None and len(lab):
+                assert np.all(lab[:, 1:] >= 0) and np.all(lab[:, 1:] <= 1.0 + 1e-6)
+
+    def test_hsv_preserves_shape_dtype(self, rng):
+        s = self._sample(rng)
+        out = T.HSVAug(0.1, 1.5, 1.5)(s)
+        assert out["img"].shape == s["org_img"].shape
+        assert out["img"].dtype == np.uint8
+
+    def test_to_array_pads_labels(self, rng):
+        s = self._sample(rng)
+        out = T.ToArray(max_labels=90)(s)
+        assert out["label"].shape == (90, 5)
+        assert out["img"].dtype == np.float32 and out["img"].max() <= 1.0
+
+
+class TestCollate:
+    def test_mixed_shapes_and_none(self):
+        a = {"img": np.zeros((4, 4, 3)), "org_img": np.zeros((5, 5, 3)),
+             "label": np.zeros((2, 5)), "path": "a", "extra": None}
+        b = {"img": np.zeros((4, 4, 3)), "org_img": np.zeros((7, 7, 3)),
+             "label": np.zeros((2, 5)), "path": "b", "extra": None}
+        out = collate([a, b])
+        assert out["img"].shape == (2, 4, 4, 3)
+        assert isinstance(out["org_img"], list)
+        assert out["extra"] is None
+        assert out["path"] == ["a", "b"]
+
+
+class TestDataHelper:
+    def _helper(self, coco_dir, seed=0, max_batches=None, prefetch=0):
+        ds = ListDataset(coco_dir, trans_fn=lambda dim: T.eval_transform(dim))
+        sampler = CyclicSampler(len(ds), 4, seed=seed, dim=(64, 64))
+        return DataHelper(ds, sampler, max_batches=max_batches, prefetch=prefetch)
+
+    def test_batches_are_uniform_arrays(self, coco_dir):
+        dh = self._helper(coco_dir, max_batches=3)
+        batches = list(iter(dh))
+        assert len(batches) == 3
+        for b in batches:
+            assert b["img"].shape == (4, 64, 64, 3)
+            assert b["label"].shape == (4, 90, 5)
+
+    def test_pause_resume_bit_identical(self, coco_dir):
+        one_go = [b["img"].copy() for b in self._helper(coco_dir, max_batches=5)]
+
+        dh = self._helper(coco_dir, max_batches=5)
+        it = iter(dh)
+        first = [next(it)["img"].copy(), next(it)["img"].copy()]
+        ckpt = dh.state_dict()
+
+        dh2 = self._helper(coco_dir, max_batches=5)
+        dh2.load_state_dict(ckpt)
+        rest = [b["img"].copy() for b in dh2]
+
+        got = first + rest
+        assert len(got) == 5
+        for a, b in zip(got, one_go):
+            np.testing.assert_array_equal(a, b)
+
+    def test_prefetch_matches_sync(self, coco_dir):
+        sync = [b["img"].copy() for b in self._helper(coco_dir, max_batches=4,
+                                                      prefetch=0)]
+        pre = [b["img"].copy() for b in self._helper(coco_dir, max_batches=4,
+                                                     prefetch=2)]
+        for a, b in zip(sync, pre):
+            np.testing.assert_array_equal(a, b)
+
+    def test_epoch_accounting(self, coco_dir):
+        dh = self._helper(coco_dir, max_batches=4)  # 2 batches/epoch (8/4)
+        assert dh.get_epoch_num_batches() == 2
+        it = iter(dh)
+        assert dh.is_start_of_epoch()
+        # like the reference, current_batch advances on the NEXT pull
+        # (dataset.py:354-356: yield, then increment)
+        next(it)
+        assert dh.get_batch() == 0 and dh.get_epoch() == 0
+        next(it)
+        assert dh.get_batch() == 1
+        assert dh.is_end_of_epoch()
+        next(it)
+        assert dh.get_batch() == 2 and dh.get_epoch() == 1
+
+
+class TestCVAT:
+    def test_parse_reference_xml(self):
+        ds = CVATDataset(
+            img_dir="/root/reference/custom_data/x_wing",
+            label_xml_path="/root/reference/custom_data/2_x_wing.xml",
+        )
+        assert len(ds) > 0
+        # parse only (images may not exist for all entries)
+        name, boxes = ds.xml_items[0]
+        assert isinstance(name, str)
+        if boxes:
+            assert set(boxes[0].keys()) == {"cls", "x1", "y1", "x2", "y2"}

@@ -5,7 +5,11 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from yolo_v3_tpu.ops.postprocess import postprocess, detections_to_lists
+from yolo_v3_tpu.ops.postprocess import (
+    detections_to_lists,
+    postprocess,
+    postprocess_from_raws,
+)
 
 
 def np_reference_postprocess(dets, num_classes, conf_thr, nms_thr, is_eval):
@@ -139,3 +143,47 @@ class TestNMSParity:
                         pre_nms_topk=256, max_detections=32)
         )[0]
         assert len(got) == 32
+
+
+class TestFusedPostprocess:
+    """postprocess_from_raws must match decode_all + postprocess exactly."""
+
+    @pytest.mark.parametrize("is_eval", [False, True])
+    def test_fused_matches_legacy(self, rng, is_eval):
+        import jax
+        from yolo_v3_tpu.ops.decode import decode_all
+        from yolo_v3_tpu.utils.config import YoloConfig
+
+        cfg = YoloConfig(num_classes=6, pre_nms_topk=128, max_detections=32)
+        raws = [
+            jnp.asarray(rng.normal(size=(2, g, g, 3 * 11)).astype(np.float32))
+            for g in (4, 8, 16)
+        ]
+        thr = 0.05 if is_eval else 0.2
+        legacy = postprocess(
+            decode_all(raws, cfg, 128), cfg.num_classes, thr, 0.45,
+            is_eval=is_eval, pre_nms_topk=128, max_detections=32,
+        )
+        fused = jax.jit(
+            lambda rs: postprocess_from_raws(rs, cfg, 128, thr, 0.45, is_eval=is_eval)
+        )(raws)
+        for a, b in zip(detections_to_lists(legacy), detections_to_lists(fused)):
+            assert rows_set(a) == rows_set(b)
+
+    def test_fused_no_nms(self, rng):
+        import jax
+        from yolo_v3_tpu.ops.decode import decode_all
+        from yolo_v3_tpu.utils.config import YoloConfig
+
+        cfg = YoloConfig(num_classes=6, pre_nms_topk=128, max_detections=32)
+        raws = [
+            jnp.asarray(rng.normal(size=(1, g, g, 3 * 11)).astype(np.float32))
+            for g in (4, 8, 16)
+        ]
+        legacy = postprocess(
+            decode_all(raws, cfg, 128), cfg.num_classes, 0.2, 0.45,
+            use_nms=False, pre_nms_topk=128, max_detections=32,
+        )
+        fused = postprocess_from_raws(raws, cfg, 128, 0.2, 0.45, use_nms=False)
+        for a, b in zip(detections_to_lists(legacy), detections_to_lists(fused)):
+            assert rows_set(a) == rows_set(b)

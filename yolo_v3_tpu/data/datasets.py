@@ -1,0 +1,174 @@
+"""Datasets: COCO-style list files, CVAT XML, raw image folders.
+
+Host-side sample sources feeding the deterministic scheduler
+(:mod:`yolo_v3_tpu.data.sampler`).  Unlike the reference (dataset.py:159-289)
+datasets here are pure index->sample functions; scheduling state (shuffle
+order, dims, seeds) lives entirely in the sampler, and every sample carries
+its own ``numpy.random.Generator`` derived from the scheduled seed — the
+replacement for the reference's global ``ia.seed``/``np.random.seed``
+(dataset.py:184-186).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from collections import OrderedDict
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Sample = Dict[str, object]
+TransFn = Callable[[Tuple[int, int]], Callable[[Sample], Sample]]
+
+
+def _read_image_rgb(path: str) -> np.ndarray:
+    import cv2
+
+    if not osp.exists(path):
+        raise FileNotFoundError(path)
+    img = cv2.imread(path)
+    if img is None:
+        raise IOError(f"failed to decode {path}")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def image_path_to_label_path(img_path: str) -> str:
+    """COCO list convention: images->labels, jpg->txt
+    (reference dataset.py:178)."""
+    return img_path.replace("jpg", "txt").replace("images", "labels")
+
+
+class ListDataset:
+    """Image-list-file dataset (the reference's COCODataset source format,
+    dataset.py:159-205): a txt of image paths; label txt rows
+    (cls, cx, cy, w, h) relative."""
+
+    def __init__(self, targ_txt_path: str, trans_fn: Optional[TransFn] = None,
+                 subset_idx: Optional[Sequence[int]] = None):
+        with open(targ_txt_path) as f:
+            self.img_list = [ln.strip() for ln in f if ln.strip()]
+        self.label_list = [image_path_to_label_path(p) for p in self.img_list]
+        if subset_idx is not None:
+            self.img_list = [self.img_list[i] for i in subset_idx]
+            self.label_list = [self.label_list[i] for i in subset_idx]
+        self.trans_fn = trans_fn
+
+    def __len__(self) -> int:
+        return len(self.img_list)
+
+    def load_raw(self, base_idx: int) -> Sample:
+        img = _read_image_rgb(self.img_list[base_idx])
+        label = None
+        lp = self.label_list[base_idx]
+        if osp.exists(lp):
+            label = np.loadtxt(lp).reshape(-1, 5).astype(np.float32)
+        return {
+            "img": img,
+            "org_img": img.copy(),
+            "label": label,
+            "img_path": self.img_list[base_idx],
+        }
+
+    def get(self, base_idx: int, dim: Tuple[int, int], seed: int) -> Sample:
+        sample = self.load_raw(base_idx)
+        sample["rng"] = np.random.default_rng(seed)
+        if self.trans_fn is not None:
+            sample = self.trans_fn(dim)(sample)
+        return sample
+
+
+# Backwards-friendly alias matching the reference class name.
+COCODataset = ListDataset
+
+
+def get_xml_labels(xml_path: str) -> "OrderedDict[str, List[Dict[str, str]]]":
+    """Parse CVAT-for-images XML: <image name=...><box label xtl ytl xbr ybr/>
+    (reference get_xml_labels, dataset.py:294-316)."""
+    from lxml import etree
+
+    labels: "OrderedDict[str, List[Dict[str, str]]]" = OrderedDict()
+    root = etree.parse(xml_path).getroot()
+    for image in root.xpath("image"):
+        name = image.get("name")
+        labels[name] = []
+        for box in image:
+            labels[name].append({
+                "cls": box.get("label"),
+                "x1": box.get("xtl"),
+                "y1": box.get("ytl"),
+                "x2": box.get("xbr"),
+                "y2": box.get("ybr"),
+            })
+    return labels
+
+
+class CVATDataset:
+    """CVAT XML dataset for custom-class fine-tuning
+    (reference CVATDataset, dataset.py:207-265)."""
+
+    def __init__(self, img_dir: str, label_xml_path: str,
+                 class2id: Optional[Dict[str, int]] = None,
+                 trans_fn: Optional[TransFn] = None,
+                 subset_idx: Optional[Sequence[int]] = None):
+        self.img_dir = img_dir
+        self.class2id = class2id or {"x_wing": 0, "tie": 1}
+        self.id2class = {v: k for k, v in self.class2id.items()}
+        self.xml_items = list(get_xml_labels(label_xml_path).items())
+        if subset_idx is not None:
+            self.xml_items = [self.xml_items[i] for i in subset_idx]
+        self.trans_fn = trans_fn
+
+    def __len__(self) -> int:
+        return len(self.xml_items)
+
+    def load_raw(self, base_idx: int) -> Sample:
+        name, boxes = self.xml_items[base_idx]
+        img_path = osp.join(self.img_dir, name)
+        img = _read_image_rgb(img_path)
+        h, w = img.shape[:2]
+        label = None
+        if boxes:
+            rows = np.array(
+                [[self.class2id[b["cls"]], float(b["x1"]), float(b["y1"]),
+                  float(b["x2"]), float(b["y2"])] for b in boxes],
+                np.float32,
+            )
+            # abs corners -> relative cxcywh (reference dataset.py:258-261)
+            x1, y1, x2, y2 = rows[:, 1], rows[:, 2], rows[:, 3], rows[:, 4]
+            rows[:, 1] = (x1 + x2) / 2 / w
+            rows[:, 2] = (y1 + y2) / 2 / h
+            rows[:, 3] = (x2 - x1) / w
+            rows[:, 4] = (y2 - y1) / h
+            label = rows
+        return {"img": img, "org_img": img.copy(), "label": label,
+                "img_path": img_path}
+
+    def get(self, base_idx: int, dim: Tuple[int, int], seed: int) -> Sample:
+        sample = self.load_raw(base_idx)
+        sample["rng"] = np.random.default_rng(seed)
+        if self.trans_fn is not None:
+            sample = self.trans_fn(dim)(sample)
+        return sample
+
+
+class ImageFolderDataset:
+    """Unlabeled image directory for pure inference
+    (reference ImageFolderDataset, dataset.py:267-289)."""
+
+    def __init__(self, img_dir: str, transform=None):
+        self.img_dir = img_dir
+        self.img_list = sorted(os.listdir(img_dir))
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.img_list)
+
+    def __getitem__(self, idx: int) -> Sample:
+        img = _read_image_rgb(osp.join(self.img_dir, self.img_list[idx]))
+        sample: Sample = {"img": img, "org_img": img, "label": None,
+                          "img_path": osp.join(self.img_dir, self.img_list[idx])}
+        if self.transform is not None:
+            sample["rng"] = np.random.default_rng(0)
+            sample = self.transform(sample)
+        return sample

@@ -1,0 +1,182 @@
+"""DataHelper: resumable batch iteration over scheduler + dataset.
+
+Equivalent of the reference DataHelper (reference dataset.py:326-400): wraps
+a :class:`CyclicSampler` and a dataset into a batch iterator that
+
+* counts ``current_batch`` (mini-batches) with ``max_net_batches *
+  net_subdivisions = max_batches`` semantics (dataset.py:337-343),
+* re-``randomize``s the schedule at epoch boundaries (dataset.py:352-359),
+* checkpoints as {current_batch, sampler state} and fast-forwards on
+  restore via ``trimm`` — no replay (dataset.py:361-372),
+* exposes batch/net-batch/epoch accessors (dataset.py:379-399).
+
+Batches are ready-to-device numpy arrays: imgs [B, H, W, 3] float32 NHWC
+(all samples in a batch share one multi-scale dim by construction — the
+dims queue holds a dim for ``rand_dim_interval`` consecutive samples) and
+labels [B, max_labels, 5].  A background prefetch thread (host pipeline)
+overlaps input assembly with device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from yolo_v3_tpu.data.sampler import CyclicSampler
+
+
+def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack same-shaped fields, keep ragged ones as lists, all-None -> None
+    (the reference's variable_shape_collate_fn contract,
+    dataset.py:408-458)."""
+    out: Dict[str, Any] = {}
+    keys = samples[0].keys()
+    for k in keys:
+        vals = [s.get(k) for s in samples]
+        if all(v is None for v in vals):
+            out[k] = None
+        elif all(isinstance(v, np.ndarray) for v in vals):
+            same = all(v.shape == vals[0].shape for v in vals)
+            out[k] = np.stack(vals) if same else vals
+        else:
+            out[k] = vals
+    return out
+
+
+class DataHelper:
+    def __init__(
+        self,
+        dataset,
+        sampler: CyclicSampler,
+        current_batch: int = 0,
+        max_net_batches: Optional[int] = None,
+        max_batches: Optional[int] = None,
+        net_subdivisions: int = 1,
+        prefetch: int = 2,
+        drop_keys: tuple = ("rng",),
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = sampler.batch_size
+        self.current_batch = current_batch
+        self.net_subdivisions = net_subdivisions
+        self.prefetch = prefetch
+        self.drop_keys = drop_keys
+
+        if max_net_batches is not None:
+            self.max_net_batches = max_net_batches
+            self.max_batches = max_net_batches * net_subdivisions
+        elif max_batches is not None:
+            self.max_batches = max_batches
+        else:
+            self.max_batches = sampler.indices_batch
+        self._iterator: Optional[Iterator] = None
+
+    # -- iteration ---------------------------------------------------------
+
+    def _assemble(self, positions: List[int]) -> Dict[str, Any]:
+        samples = []
+        for pos in positions:
+            base_idx, dim, seed = self.sampler.schedule(pos)
+            s = self.dataset.get(base_idx, dim, seed)
+            for k in self.drop_keys:
+                s.pop(k, None)
+            samples.append(s)
+        return collate(samples)
+
+    def _epoch_batches(self) -> Iterator[Dict[str, Any]]:
+        n = len(self.sampler) // self.batch_size
+        for b in range(n):
+            yield self._assemble(
+                list(range(b * self.batch_size, (b + 1) * self.batch_size))
+            )
+
+    def _gen(self) -> Iterator[Dict[str, Any]]:
+        while self.current_batch < self.max_batches:
+            produced = False
+            for batch in self._prefetched(self._epoch_batches()):
+                produced = True
+                yield batch
+                self.current_batch += 1
+                if self.current_batch >= self.max_batches:
+                    return
+            self.sampler.randomize()
+            if not produced and len(self.sampler) < self.batch_size:
+                raise RuntimeError("sampler cannot fill a single batch")
+
+    def _prefetched(self, it: Iterator) -> Iterator:
+        if self.prefetch <= 0:
+            yield from it
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        done = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for item in it:
+                    q.put(item)
+            except BaseException as e:  # surface worker errors to consumer
+                err.append(e)
+            finally:
+                q.put(done)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is done:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+    def __iter__(self):
+        if self._iterator is None:
+            self._iterator = iter(self._gen())
+        return self._iterator
+
+    def reset(self) -> "DataHelper":
+        self._iterator = None
+        self.current_batch = 0
+        return self
+
+    # -- resume (dataset.py:361-372) --------------------------------------
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {
+            "current_batch": self.current_batch,
+            "sampler": self.sampler.state_dict(),
+        }
+
+    def load_state_dict(self, sd: Dict[str, Any]) -> None:
+        self._iterator = None
+        self.current_batch = sd["current_batch"] + 1
+        self.sampler.load_state_dict(sd["sampler"])
+        self.sampler.trimm(batch_idx=self.current_batch)
+
+    # -- accessors (dataset.py:379-399) ------------------------------------
+
+    def get_batch(self) -> int:
+        return self.current_batch
+
+    def get_net_batch(self) -> int:
+        return self.current_batch // self.net_subdivisions
+
+    def get_epoch_num_batches(self) -> int:
+        return self.sampler.indices_batch
+
+    def get_epoch(self) -> int:
+        return self.current_batch // self.get_epoch_num_batches()
+
+    def get_epoch_batch(self) -> int:
+        return self.current_batch % self.get_epoch_num_batches()
+
+    def is_start_of_epoch(self) -> bool:
+        return self.current_batch % self.get_epoch_num_batches() == 0
+
+    def is_end_of_epoch(self) -> bool:
+        return (self.current_batch + 1) % self.get_epoch_num_batches() == 0

@@ -24,9 +24,8 @@ import numpy as np
 from yolo_v3_tpu.models import darknet as D
 from yolo_v3_tpu.models import weights as W
 from yolo_v3_tpu.ops import boxes as B
-from yolo_v3_tpu.ops.decode import decode_all
 from yolo_v3_tpu.ops.letterbox import letterbox_device, letterbox_host
-from yolo_v3_tpu.ops.postprocess import detections_to_lists, postprocess
+from yolo_v3_tpu.ops.postprocess import detections_to_lists, postprocess_from_raws
 from yolo_v3_tpu.utils.config import YoloConfig
 
 
@@ -51,16 +50,10 @@ def detect_fn(
     """
     img_dim = x.shape[1]
     raws = D.apply_yolonet_folded(params, x.astype(compute_dtype))
-    det = decode_all(raws, config, img_dim)
-    res = postprocess(
-        det,
-        num_classes=config.num_classes,
-        conf_thr=conf_thr,
-        nms_thr=nms_thr,
-        is_eval=is_eval,
-        use_nms=use_nms,
-        pre_nms_topk=config.pre_nms_topk,
-        max_detections=config.max_detections,
+    res = postprocess_from_raws(
+        raws, config, img_dim,
+        conf_thr=conf_thr, nms_thr=nms_thr,
+        is_eval=is_eval, use_nms=use_nms,
     )
 
     def correct(row, org):
@@ -113,7 +106,7 @@ class Detector:
     # -- inference --------------------------------------------------------
 
     def _pipeline(self, conf_thr, nms_thr, is_eval, use_nms):
-        key = (conf_thr, nms_thr, is_eval, use_nms)
+        key = (conf_thr, nms_thr, is_eval, use_nms, self.letterbox)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
                 functools.partial(
@@ -130,15 +123,44 @@ class Detector:
         return self._jitted[key]
 
     def preprocess(self, images: Sequence[np.ndarray], dim: Optional[int] = None):
-        """HWC uint8 RGB images -> ([B, dim, dim, 3] float32, org_dims [B, 2])."""
+        """HWC uint8 RGB images -> ([B, dim, dim, 3] float32, org_dims [B, 2]).
+
+        Letterbox or plain resize per ``self.letterbox`` (the reference's
+        IaaLetterbox-vs-iaa.Scale eval switch, evaluate.py:210-213).
+        """
         dim = dim or self.config.img_dim
         org = np.array([[im.shape[1], im.shape[0]] for im in images], np.float32)
-        if self.resize_on_device:
-            batch = jnp.stack(
-                [letterbox_device(jnp.asarray(im), (dim, dim)) for im in images]
-            )
+        if self.letterbox:
+            if self.resize_on_device:
+                batch = jnp.stack(
+                    [letterbox_device(jnp.asarray(im), (dim, dim)) for im in images]
+                )
+            else:
+                batch = jnp.stack(
+                    [jnp.asarray(letterbox_host(im, (dim, dim))) for im in images]
+                )
         else:
-            batch = jnp.stack([jnp.asarray(letterbox_host(im, (dim, dim))) for im in images])
+            if self.resize_on_device:
+                from yolo_v3_tpu.ops.letterbox import resize_cubic_device
+
+                resize = jax.jit(
+                    lambda im: jnp.clip(
+                        resize_cubic_device(im.astype(jnp.float32) / 255.0, dim, dim),
+                        0.0, 1.0,
+                    ),
+                    static_argnums=(),
+                )
+                batch = jnp.stack([resize(jnp.asarray(im)) for im in images])
+            else:
+                import cv2
+
+                batch = jnp.stack([
+                    jnp.asarray(
+                        cv2.resize(im, (dim, dim), interpolation=cv2.INTER_CUBIC)
+                        .astype(np.float32) / 255.0
+                    )
+                    for im in images
+                ])
         return batch, jnp.asarray(org)
 
     def detect(

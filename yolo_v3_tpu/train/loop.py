@@ -1,0 +1,119 @@
+"""Training orchestration: the host loop around the compiled step.
+
+Equivalent of the reference ``train``/``train_impl`` (reference
+train.py:21-102), reshaped for TPU execution: instead of one forward/backward
+per mini-batch with Python-side accumulation, the host groups
+``net_subdivisions`` consecutive mini-batches into one [S, B, ...] net-batch
+array and launches a single compiled step (scan over subdivisions +
+optimizer update).  Multi-scale training works through a per-dim jit cache —
+one compiled executable per input resolution (SURVEY.md §2.3 bucketing
+plan).
+
+Checkpointing, resume, recorder, and progress reporting follow the reference
+contract (train.py:24-28, 86-88).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yolo_v3_tpu.train.checkpoint import save_checkpoint
+from yolo_v3_tpu.train.optimizer import make_optimizer
+from yolo_v3_tpu.train.recorder import Recorder
+from yolo_v3_tpu.train.step import make_train_step
+from yolo_v3_tpu.utils.config import TrainConfig, YoloConfig
+
+
+def train(
+    data,
+    params,
+    state,
+    config: YoloConfig,
+    tcfg: TrainConfig,
+    recorder: Optional[Recorder] = None,
+    model_id: str = "test",
+    weight_dir: Optional[str] = None,
+    checkpoint: Optional[Dict] = None,
+    checkpoint_interval: int = 1,
+    mesh=None,
+    log_fn: Callable[[str], None] = lambda s: print(s, file=sys.stderr),
+):
+    """Run training until ``data`` is exhausted (reference train.py:21-102).
+
+    ``data`` is a DataHelper; ``mesh`` (optional) shards net-batches over the
+    ``data`` axis for multi-chip runs.  Returns (params, state, opt_state,
+    recorder).
+    """
+    recorder = recorder or Recorder()
+    tx = make_optimizer(params, tcfg)
+    opt_state = tx.init(params)
+
+    if checkpoint is not None:
+        data.load_state_dict(checkpoint["data"])
+        params = checkpoint["params"]
+        state = checkpoint["state"]
+        opt_state = jax.tree.map(jnp.asarray, checkpoint["opt_state"])
+        if checkpoint["recorder"] is not None:
+            recorder.load_state_dict(checkpoint["recorder"])
+
+    if mesh is not None:
+        from yolo_v3_tpu.parallel import mesh as M
+
+        params = M.replicate(mesh, params)
+        state = M.replicate(mesh, state)
+        opt_state = M.replicate(mesh, opt_state)
+
+    step = make_train_step(config, tx)
+    S = data.net_subdivisions
+
+    micro_imgs, micro_labels = [], []
+    t_start = time.time()
+    for sample in data:
+        micro_imgs.append(sample["img"])
+        micro_labels.append(sample["label"])
+        batch = data.get_batch()
+
+        if len(micro_imgs) == S:
+            imgs = np.stack(micro_imgs).astype(np.float32)
+            labels = np.stack(micro_labels).astype(np.float32)
+            micro_imgs, micro_labels = [], []
+
+            if mesh is not None:
+                from yolo_v3_tpu.parallel import mesh as M
+
+                imgs, labels = M.shard_train_inputs(mesh, imgs, labels)
+
+            params, state, opt_state, stats = step(
+                params, state, opt_state, imgs, labels
+            )
+
+            net_batch = data.get_net_batch()
+            recorder.on_batch_end(
+                {k: float(v) for k, v in stats.items()}, imgs.shape[0] * imgs.shape[1]
+            )
+            log_fn(
+                f"net_batch {net_batch} epoch {data.get_epoch()} "
+                f"dim {imgs.shape[2]} {recorder.stats_row()}"
+            )
+
+            if weight_dir is not None and (
+                (batch + 1) / S
+            ) % checkpoint_interval == 0:
+                save_checkpoint(
+                    data, params, state, opt_state, recorder, model_id, weight_dir
+                )
+
+        if data.is_end_of_epoch():
+            recorder.on_epoch_end()
+
+    log_fn(
+        f"[finish] net_batch {data.get_net_batch()} batch {data.get_batch()} "
+        f"({time.time() - t_start:.1f}s)"
+    )
+    return params, state, opt_state, recorder
