@@ -1,0 +1,126 @@
+"""CLI + predict/compare harness tests (CPU mesh)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from yolo_v3_tpu.models import darknet as D
+from yolo_v3_tpu.models import weights as W
+
+
+@pytest.fixture(scope="module")
+def tiny_weights(tmp_path_factory):
+    root = tmp_path_factory.mktemp("w")
+    params, state = D.init_yolonet(jax.random.PRNGKey(0), num_classes=3)
+    wpath = str(root / "model.weights")
+    W.save_darknet_weights(params, state, wpath, seen=5)
+    npath = str(root / "model.npz")
+    W.save_pytree({"params": params, "state": state}, npath)
+    return wpath, npath
+
+
+@pytest.fixture(scope="module")
+def names_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("n") / "names.txt"
+    p.write_text("aaa\nbbb\nccc\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def image_file(tmp_path_factory):
+    import cv2
+
+    p = tmp_path_factory.mktemp("i") / "img_0001.jpg"
+    rng = np.random.default_rng(0)
+    cv2.imwrite(str(p), rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+    return str(p)
+
+
+class TestCLI:
+    def test_weights_inspect(self, tiny_weights, capsys):
+        from yolo_v3_tpu.cli import main
+
+        wpath, _ = tiny_weights
+        main(["weights", "inspect", wpath])
+        out = json.loads(capsys.readouterr().out)
+        assert out["seen"] == 5 and out["n_floats"] > 1e6
+
+    def test_weights_convert(self, tiny_weights, tmp_path, capsys):
+        from yolo_v3_tpu.cli import main
+
+        wpath, _ = tiny_weights
+        out = str(tmp_path / "conv.npz")
+        main(["weights", "convert", wpath, "--out", out, "--num-classes", "3"])
+        tree, meta = W.load_pytree(out)
+        assert meta["seen"] == 5
+        assert "params" in tree and "state" in tree
+
+    def test_detect_command(self, tiny_weights, names_file, image_file,
+                            tmp_path, capsys):
+        from yolo_v3_tpu.cli import main
+
+        _, npath = tiny_weights
+        out_img = str(tmp_path / "out.png")
+        main([
+            "detect", "--image", image_file, "--weights", npath,
+            "--names", names_file, "--dim", "96", "--precision", "fp32",
+            "--conf-thr", "0.2", "--out", out_img,
+        ])
+        assert os.path.getsize(out_img) > 0
+
+    def test_parser_covers_reference_train_knobs(self):
+        """All reference notebook hyper-parameters are expressible."""
+        from yolo_v3_tpu.cli import build_parser
+
+        p = build_parser()
+        args = p.parse_args([
+            "train", "--train-list", "x.txt", "--names", "n.txt",
+            "--batch-size", "64", "--subdivisions", "4", "--lr", "1e-3",
+            "--backbone-lr", "1e-4", "--weight-decay", "5e-4",
+            "--momentum", "0.9", "--multi-scale", "--freeze-backbone",
+            "--backbone-weights", "darknet53.conv.74", "--resume",
+            "--data-parallel", "--jitter", "0.3", "--hue", "0.1",
+        ])
+        assert args.batch_size == 64 and args.multi_scale and args.resume
+
+
+class TestPredictHarness:
+    def test_predict_and_compare(self, tmp_path):
+        from yolo_v3_tpu.detector import Detector
+        from yolo_v3_tpu.predict import (
+            predict,
+            predict_multiple,
+            show_detections_comparisons,
+        )
+        from yolo_v3_tpu.utils.config import YoloConfig
+
+        rng = np.random.default_rng(0)
+        cfg = YoloConfig(num_classes=3, img_dim=64, pre_nms_topk=64,
+                         max_detections=16)
+        p1, s1 = D.init_yolonet(jax.random.PRNGKey(0), 3)
+        p2, s2 = D.init_yolonet(jax.random.PRNGKey(1), 3)
+        det1 = Detector(p1, s1, cfg, precision="fp32")
+        det2 = Detector(p2, s2, cfg, precision="fp32")
+
+        samples = [
+            {"img": rng.integers(0, 255, (80, 100, 3), dtype=np.uint8),
+             "org_img": rng.integers(0, 255, (80, 100, 3), dtype=np.uint8),
+             "label": np.array([[1, 0.5, 0.5, 0.4, 0.4]], np.float32)}
+            for _ in range(2)
+        ]
+        imgs, preds = predict(samples, det1, conf_thr=0.2)
+        assert len(imgs) == len(preds) == 2
+
+        imgs, per_model, labels = predict_multiple(samples, [det1, det2],
+                                                   conf_thr=0.2)
+        assert len(per_model) == 2 and len(labels) == 2
+        # GT label mapped to absolute xywh
+        assert labels[0][0][3] == pytest.approx(40.0)  # 0.4 * 100
+
+        out = str(tmp_path / "cmp.png")
+        show_detections_comparisons([det1, det2], samples, ["a", "b", "c"],
+                                    conf_thr=0.2, save_path=out)
+        assert os.path.getsize(out) > 0

@@ -1,0 +1,247 @@
+"""Command-line API: detect / train / eval / weights tools.
+
+The reference lists "Make command line API" as an unfinished TODO
+(reference README.md:156); its entry points are Jupyter notebooks.  This CLI
+is the completed equivalent: every notebook workflow is a subcommand.
+
+    python -m yolo_v3_tpu.cli detect --image img.png --weights yolov3.weights
+    python -m yolo_v3_tpu.cli train --train-list 5k.txt --model-id coco ...
+    python -m yolo_v3_tpu.cli eval --val-list 5k.txt --weights ckpt.npz ...
+    python -m yolo_v3_tpu.cli weights convert|inspect ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_class_names(path: str):
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def _build_detector(args, num_classes: int):
+    import jax
+
+    from yolo_v3_tpu.detector import Detector
+    from yolo_v3_tpu.models import darknet as D
+    from yolo_v3_tpu.utils.config import YoloConfig
+
+    cfg = YoloConfig(num_classes=num_classes, img_dim=args.dim)
+    if args.weights == "random":
+        params, state = D.init_yolonet(jax.random.PRNGKey(0), num_classes)
+        return Detector(params, state, cfg, precision=args.precision)
+    if args.weights.endswith(".npz"):
+        return Detector.from_checkpoint(args.weights, cfg, precision=args.precision)
+    return Detector.from_darknet_weights(args.weights, cfg, precision=args.precision)
+
+
+def cmd_detect(args):
+    import cv2
+
+    from yolo_v3_tpu.viz.draw import save_detections_image
+
+    classes = _load_class_names(args.names) if args.names else None
+    num_classes = len(classes) if classes else args.num_classes
+    det = _build_detector(args, num_classes)
+
+    img = cv2.cvtColor(cv2.imread(args.image), cv2.COLOR_BGR2RGB)
+    results = det.detect([img], conf_thr=args.conf_thr, nms_thr=args.nms_thr,
+                         dim=args.dim)[0]
+    for row in results:
+        name = classes[int(row[0])] if classes else str(int(row[0]))
+        print(f"{name} prob={row[5]:.3f} xywh=({row[1]:.1f}, {row[2]:.1f}, "
+              f"{row[3]:.1f}, {row[4]:.1f})")
+    if args.out:
+        save_detections_image(img, results, args.out, classes)
+        print(f"saved {args.out}")
+
+
+def cmd_eval(args):
+    from yolo_v3_tpu.eval.pipeline import evaluate_detector
+
+    classes = _load_class_names(args.names)
+    det = _build_detector(args, len(classes))
+    os.makedirs(args.workdir, exist_ok=True)
+    mAP = evaluate_detector(
+        det, args.val_list, classes, args.workdir,
+        batch_size=args.batch_size, dim=args.dim, is_letterbox=args.letterbox,
+    )
+    print(json.dumps({"mAP@0.5": mAP}))
+
+
+def cmd_train(args):
+    import jax
+
+    from yolo_v3_tpu.data.datasets import CVATDataset, ListDataset
+    from yolo_v3_tpu.data.loader import DataHelper
+    from yolo_v3_tpu.data.sampler import CyclicSampler
+    from yolo_v3_tpu.data import transforms as T
+    from yolo_v3_tpu.models import darknet as D
+    from yolo_v3_tpu.models.weights import load_backbone_darknet_weights
+    from yolo_v3_tpu.train.checkpoint import get_latest_checkpoint, load_checkpoint
+    from yolo_v3_tpu.train.loop import train
+    from yolo_v3_tpu.utils.config import TrainConfig, YoloConfig
+
+    classes = _load_class_names(args.names)
+    cfg = YoloConfig(num_classes=len(classes), img_dim=args.dim)
+    tcfg = TrainConfig(
+        batch_size=args.batch_size,
+        net_subdivisions=args.subdivisions,
+        lr=args.lr,
+        backbone_lr=args.backbone_lr,
+        weight_decay=args.weight_decay,
+        momentum=args.momentum,
+        freeze_backbone=args.freeze_backbone,
+        max_net_batches=args.max_net_batches,
+        seed=args.seed,
+    )
+
+    trans = lambda dim: T.training_transform(
+        dim, hue=args.hue, saturation=args.saturation,
+        exposure=args.exposure, jitter=args.jitter, max_labels=cfg.max_labels,
+    )
+    if args.cvat_xml:
+        ds = CVATDataset(args.train_images or os.path.dirname(args.train_list),
+                         args.cvat_xml, trans_fn=trans)
+    else:
+        ds = ListDataset(args.train_list, trans_fn=trans)
+
+    dim = None if args.multi_scale else (args.dim, args.dim)
+    sampler = CyclicSampler(
+        len(ds), args.batch_size, seed=args.seed, dim=dim,
+        rand_dim_interval=max(8, args.batch_size * args.subdivisions),
+    )
+    data = DataHelper(ds, sampler, max_net_batches=args.max_net_batches,
+                      net_subdivisions=args.subdivisions)
+
+    params, state = D.init_yolonet(jax.random.PRNGKey(args.seed), cfg.num_classes)
+    if args.backbone_weights:
+        params, state, consumed, _ = load_backbone_darknet_weights(
+            params, state, args.backbone_weights
+        )
+        print(f"backbone init from {args.backbone_weights} "
+              f"({consumed} floats)", file=sys.stderr)
+
+    checkpoint = None
+    if args.resume:
+        path, it = get_latest_checkpoint(args.model_id, args.weight_dir)
+        if path:
+            print(f"resuming from {path}", file=sys.stderr)
+            checkpoint = load_checkpoint(path)
+
+    mesh = None
+    if args.data_parallel:
+        from yolo_v3_tpu.parallel import mesh as M
+
+        mesh = M.make_mesh()
+        print(f"mesh: {mesh.devices.shape}", file=sys.stderr)
+
+    train(
+        data, params, state, cfg, tcfg,
+        model_id=args.model_id, weight_dir=args.weight_dir,
+        checkpoint=checkpoint, checkpoint_interval=args.checkpoint_interval,
+        mesh=mesh,
+    )
+
+
+def cmd_weights(args):
+    import jax
+
+    from yolo_v3_tpu.models import darknet as D
+    from yolo_v3_tpu.models import weights as W
+
+    if args.action == "inspect":
+        header = np.fromfile(args.path, dtype=np.int32, count=5)
+        blob = np.fromfile(args.path, dtype=np.float32)[5:]
+        print(json.dumps({
+            "version": header[:3].tolist(),
+            "seen": int(header[3]),
+            "n_floats": int(blob.size),
+        }))
+    elif args.action == "convert":
+        params, state = D.init_yolonet(jax.random.PRNGKey(0), args.num_classes)
+        params, state, n, hdr = W.load_darknet_weights(params, state, args.path)
+        W.save_pytree({"params": params, "state": state}, args.out,
+                      meta={"seen": int(hdr[3]), "source": args.path})
+        print(f"wrote {args.out} ({n} floats)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="yolo_v3_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("detect", help="single/batch image detection")
+    d.add_argument("--image", required=True)
+    d.add_argument("--weights", required=True,
+                   help=".weights | .npz checkpoint | 'random'")
+    d.add_argument("--names", default=None)
+    d.add_argument("--num-classes", type=int, default=80)
+    d.add_argument("--dim", type=int, default=416)
+    d.add_argument("--conf-thr", type=float, default=0.5)
+    d.add_argument("--nms-thr", type=float, default=0.4)
+    d.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    d.add_argument("--out", default=None)
+    d.set_defaults(fn=cmd_detect)
+
+    e = sub.add_parser("eval", help="COCO mAP@0.5 evaluation")
+    e.add_argument("--val-list", required=True)
+    e.add_argument("--weights", required=True)
+    e.add_argument("--names", required=True)
+    e.add_argument("--dim", type=int, default=416)
+    e.add_argument("--batch-size", type=int, default=8)
+    e.add_argument("--letterbox", action="store_true")
+    e.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    e.add_argument("--workdir", default="eval_out")
+    e.set_defaults(fn=cmd_eval)
+
+    t = sub.add_parser("train", help="COCO/CVAT training")
+    t.add_argument("--train-list", default=None)
+    t.add_argument("--cvat-xml", default=None)
+    t.add_argument("--train-images", default=None)
+    t.add_argument("--names", required=True)
+    t.add_argument("--model-id", default="test")
+    t.add_argument("--weight-dir", default="weights")
+    t.add_argument("--dim", type=int, default=416)
+    t.add_argument("--multi-scale", action="store_true")
+    t.add_argument("--batch-size", type=int, default=16)
+    t.add_argument("--subdivisions", type=int, default=4)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--backbone-lr", type=float, default=1e-4)
+    t.add_argument("--weight-decay", type=float, default=5e-4)
+    t.add_argument("--momentum", type=float, default=0.9)
+    t.add_argument("--freeze-backbone", action="store_true")
+    t.add_argument("--backbone-weights", default=None,
+                   help="darknet53.conv.74-style backbone init")
+    t.add_argument("--max-net-batches", type=int, default=None)
+    t.add_argument("--checkpoint-interval", type=int, default=1)
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--data-parallel", action="store_true")
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--hue", type=float, default=0.1)
+    t.add_argument("--saturation", type=float, default=1.5)
+    t.add_argument("--exposure", type=float, default=1.5)
+    t.add_argument("--jitter", type=float, default=0.3)
+    t.set_defaults(fn=cmd_train)
+
+    w = sub.add_parser("weights", help="weight file tools")
+    w.add_argument("action", choices=["inspect", "convert"])
+    w.add_argument("path")
+    w.add_argument("--out", default="model.npz")
+    w.add_argument("--num-classes", type=int, default=80)
+    w.set_defaults(fn=cmd_weights)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
