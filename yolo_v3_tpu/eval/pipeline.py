@@ -34,38 +34,78 @@ def generate_results_file(
     conf_thr: Optional[float] = None,
     nms_thr: Optional[float] = None,
     progress: bool = True,
+    use_native_loader: Optional[bool] = None,
 ) -> str:
     """Run eval-mode detection over an image-list file and write the COCO
-    results json (reference generate_results_file, evaluate.py:208-219)."""
+    results json (reference generate_results_file, evaluate.py:208-219).
+
+    When the native C++ loader is available and ``is_letterbox`` is on, the
+    decode+letterbox stage runs in the native thread pool
+    (data/native_loader.py) and images bypass Python entirely; failures
+    (non-JPEG files) fall back to the cv2 path per image.
+    """
     ds = ListDataset(target_txt)
     detector.letterbox = is_letterbox
+    eff_dim = dim or detector.config.img_dim
 
-    with JsonPredictionWriter(out, class_names, is_letterbox) as writer:
-        batch_imgs, batch_ids = [], []
+    native = None
+    if use_native_loader is None:
+        use_native_loader = is_letterbox
+    if use_native_loader and is_letterbox:
+        from yolo_v3_tpu.data.native_loader import NativePrefetcher, native_available
 
-        def flush():
-            if not batch_imgs:
-                return
-            preds = detector.detect(
-                batch_imgs, conf_thr=conf_thr, nms_thr=nms_thr,
-                is_eval=True, dim=dim,
-            )
-            for image_id, rows in zip(batch_ids, preds):
-                writer.add(image_id, rows)
-            batch_imgs.clear()
-            batch_ids.clear()
+        if native_available():
+            native = NativePrefetcher(n_threads=2)
 
-        for i in range(len(ds)):
-            sample = ds.load_raw(i)
-            batch_imgs.append(sample["img"])
-            batch_ids.append(get_image_id_from_path(sample["img_path"]))
-            if len(batch_imgs) == batch_size:
-                flush()
+    def detect_preprocessed(imgs_np, orgs_np):
+        import jax.numpy as jnp
+
+        from yolo_v3_tpu.ops.postprocess import detections_to_lists
+
+        pipeline = detector._pipeline(
+            conf_thr if conf_thr is not None else detector.config.eval_conf_thr,
+            nms_thr if nms_thr is not None else detector.config.eval_nms_thr,
+            True, True,
+        )
+        res = pipeline(detector.params, jnp.asarray(imgs_np), jnp.asarray(orgs_np))
+        return [rows[:, [6, 0, 1, 2, 3, 5, 4]] for rows in detections_to_lists(res)]
+
+    try:
+        with JsonPredictionWriter(out, class_names, is_letterbox) as writer:
+            paths = ds.img_list
+            for start in range(0, len(paths), batch_size):
+                chunk = paths[start:start + batch_size]
+                ids = [get_image_id_from_path(p) for p in chunk]
+
+                if native is not None:
+                    imgs_np, orgs_np, ok = native.load_letterboxed(
+                        chunk, (eff_dim, eff_dim)
+                    )
+                    for j, good in enumerate(ok):
+                        if not good:  # cv2 fallback per image
+                            raw = ds.load_raw(start + j)["img"]
+                            from yolo_v3_tpu.ops.letterbox import letterbox_host
+
+                            imgs_np[j] = letterbox_host(raw, (eff_dim, eff_dim))
+                            orgs_np[j] = (raw.shape[1], raw.shape[0])
+                    preds = detect_preprocessed(imgs_np, orgs_np)
+                else:
+                    imgs = [ds.load_raw(start + j)["img"] for j in range(len(chunk))]
+                    preds = detector.detect(
+                        imgs, conf_thr=conf_thr, nms_thr=nms_thr,
+                        is_eval=True, dim=dim,
+                    )
+
+                for image_id, rows in zip(ids, preds):
+                    writer.add(image_id, rows)
                 if progress:
-                    print(f"\reval {i + 1}/{len(ds)}", end="", file=sys.stderr)
-        flush()
-        if progress:
-            print(file=sys.stderr)
+                    print(f"\reval {min(start + batch_size, len(paths))}/"
+                          f"{len(paths)}", end="", file=sys.stderr)
+            if progress:
+                print(file=sys.stderr)
+    finally:
+        if native is not None:
+            native.close()
     return out
 
 
