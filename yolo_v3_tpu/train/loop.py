@@ -80,6 +80,13 @@ def train(
         batch = data.get_batch()
 
         if len(micro_imgs) == S:
+            dims = {m.shape for m in micro_imgs}
+            if len(dims) != 1:
+                raise ValueError(
+                    "multi-scale dim changed mid-net-batch "
+                    f"({sorted(dims)}); set the sampler's rand_dim_interval "
+                    "to a multiple of batch_size * net_subdivisions"
+                )
             imgs = np.stack(micro_imgs).astype(np.float32)
             labels = np.stack(micro_labels).astype(np.float32)
             micro_imgs, micro_labels = [], []
