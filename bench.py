@@ -46,7 +46,9 @@ def main():
 
     config = YoloConfig()
     params, state = D.init_yolonet(jax.random.PRNGKey(0), config.num_classes)
-    folded = D.cast_params(D.fold_batchnorm(params, state), jnp.bfloat16)
+    folded = D.cast_params(
+        D.fold_space_to_depth(D.fold_batchnorm(params, state)), jnp.bfloat16
+    )
 
     rng = np.random.default_rng(0)
     results = {}

@@ -185,3 +185,32 @@ class TestBNFolding:
         got = D.apply_yolonet_folded(folded, x)
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=3e-4)
+
+
+class TestSpaceToDepthStem:
+    def test_s2d_entry_matches_baseline(self, tiny_net, rng):
+        """The s2d-remapped stem+down0 must equal conv stem + down conv."""
+        params, state = tiny_net
+        folded = D.fold_batchnorm(params, state)
+        s2d = D.fold_space_to_depth(folded)
+
+        x = jnp.asarray(rng.uniform(0, 1, (2, 96, 96, 3)).astype(np.float32))
+        want = D._conv_bias_leaky(
+            folded["backbone"]["stage0"]["down"],
+            D._conv_bias_leaky(folded["backbone"]["stem"], x),
+            stride=2,
+        )
+        got = D._apply_s2d_entry(s2d, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_full_folded_net_with_s2d(self, tiny_net, rng):
+        params, state = tiny_net
+        folded = D.fold_batchnorm(params, state)
+        s2d = D.fold_space_to_depth(folded)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 96, 96, 3)).astype(np.float32))
+        want = D.apply_yolonet_folded(folded, x)
+        got = D.apply_yolonet_folded(s2d, x)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=2e-3, atol=3e-4)

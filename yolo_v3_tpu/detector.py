@@ -84,7 +84,7 @@ class Detector:
         self.letterbox = letterbox
         self.resize_on_device = resize_on_device
         self.compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-        folded = D.fold_batchnorm(params, state)
+        folded = D.fold_space_to_depth(D.fold_batchnorm(params, state))
         self.params = D.cast_params(folded, self.compute_dtype)
         self._jitted = {}
 

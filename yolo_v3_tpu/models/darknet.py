@@ -323,11 +323,16 @@ def apply_yolonet_folded(params: Params, x: jnp.ndarray):
     via ``preferred_element_type``.
     """
     p = params["backbone"]
-    y = _conv_bias_leaky(p["stem"], x)
+    use_s2d = "s2d" in params
+    if use_s2d:
+        y = _apply_s2d_entry(params, x)  # fused stem + stage0 downsample
+    else:
+        y = _conv_bias_leaky(p["stem"], x)
     routes = []
     for i, nblk in enumerate(DARKNET53_BLOCKS):
         sp = p[f"stage{i}"]
-        y = _conv_bias_leaky(sp["down"], y, stride=2)
+        if not (use_s2d and i == 0):
+            y = _conv_bias_leaky(sp["down"], y, stride=2)
         for b in range(nblk):
             r = _conv_bias_leaky(sp[f"res{b}"]["conv1"], y)
             r = _conv_bias_leaky(sp[f"res{b}"]["conv2"], r)
@@ -353,6 +358,96 @@ def apply_yolonet_folded(params: Params, x: jnp.ndarray):
     y = jnp.concatenate([upsample2x_nearest(y), c3], axis=-1)
     det2, _ = head(params["head2"], y)
     return det0, det1, det2
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth stem: the serving-path fix for tiny-channel convolutions.
+#
+# On TPU, NHWC tensors tile the channel dim into 128 lanes; the stem's
+# C_in=3 / C_out=32 convs at 416x416 run an order of magnitude below peak
+# (measured ~19ms of a 40ms forward at batch 64).  The standard remedy is to
+# re-express the first two convolutions in a 2x2 space-to-depth domain with
+# exactly remapped weights:
+#
+#   stem  conv3x3/s1 (3 -> 32)  @416  ==  conv3x3/s1 (12 -> 128) @210->208
+#   down0 conv3x3/s2 (32 -> 64) @416  ==  conv2x2/s1 (128 -> 64) @208
+#
+# Outputs are bit-identical in exact arithmetic (the transform is a
+# permutation of the same dot products); the fused network then proceeds
+# from stage0's residual blocks unchanged.
+# ---------------------------------------------------------------------------
+
+def fold_space_to_depth(folded: Params) -> Params:
+    """Add 's2d' remapped stem/down0 weights to BN-folded params."""
+    import numpy as np
+
+    stem_w = np.asarray(folded["backbone"]["stem"]["w"], np.float32)   # [3,3,3,32]
+    stem_b = np.asarray(folded["backbone"]["stem"]["b"], np.float32)
+    down_w = np.asarray(folded["backbone"]["stage0"]["down"]["w"], np.float32)  # [3,3,32,64]
+    down_b = np.asarray(folded["backbone"]["stage0"]["down"]["b"], np.float32)
+    c1 = stem_w.shape[3]              # 32
+    cin = stem_w.shape[2]             # 3
+
+    # stem': [3, 3, 4*cin, 4*c1]; input blocks from x padded (1,3)x(1,3)
+    w1 = np.zeros((3, 3, 4 * cin, 4 * c1), np.float32)
+    for dy in range(2):
+        for dx in range(2):
+            for u in range(3):
+                for v in range(3):
+                    t, s = dy + u - 1, dx + v - 1
+                    p, by = (t + 1) // 2, (t + 1) % 2
+                    q, bx = (s + 1) // 2, (s + 1) % 2
+                    ci_blk = (by * 2 + bx) * cin
+                    co_blk = (dy * 2 + dx) * c1
+                    w1[p, q, ci_blk:ci_blk + cin, co_blk:co_blk + c1] = (
+                        stem_w[u, v]
+                    )
+    b1 = np.tile(stem_b, 4)
+
+    # down0': [2, 2, 4*c1, c2]; consumes the s2d stem output, pad (1,0)x(1,0)
+    c2 = down_w.shape[3]
+    w2 = np.zeros((2, 2, 4 * c1, c2), np.float32)
+    for u in range(3):
+        for v in range(3):
+            t, s = u - 1, v - 1
+            p, dy = ((0, 1), (1, 0), (1, 1))[u]
+            q, dx = ((0, 1), (1, 0), (1, 1))[v]
+            ci_blk = (dy * 2 + dx) * c1
+            w2[p, q, ci_blk:ci_blk + c1, :] = down_w[u, v]
+
+    dtype = folded["backbone"]["stem"]["w"].dtype
+    out = dict(folded)
+    out["s2d"] = {
+        "stem": {"w": jnp.asarray(w1, dtype), "b": jnp.asarray(b1, dtype)},
+        "down0": {"w": jnp.asarray(w2, dtype), "b": jnp.asarray(down_b, dtype)},
+    }
+    return out
+
+
+def _space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, 2H, 2W, C] -> [B, H, W, 4C] with (by, bx, c) channel order."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _apply_s2d_entry(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """x [B, H, W, 3] -> stage0-res input [B, H/2, W/2, 64] via the s2d
+    stem + down0 (numerically equal to stem conv + down conv)."""
+    sp = params["s2d"]
+    xp = jnp.pad(x, ((0, 0), (1, 3), (1, 3), (0, 0)))
+    xb = _space_to_depth2(xp)                      # [B, H/2+2, W/2+2, 12]
+    y = lax.conv_general_dilated(
+        xb, sp["stem"]["w"], (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=_DN, preferred_element_type=jnp.float32,
+    ) + sp["stem"]["b"].astype(jnp.float32)
+    y = jnp.where(y > 0, y, LEAKY_SLOPE * y).astype(x.dtype)  # s2d(stem out)
+    z = lax.conv_general_dilated(
+        y, sp["down0"]["w"], (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=_DN, preferred_element_type=jnp.float32,
+    ) + sp["down0"]["b"].astype(jnp.float32)
+    return jnp.where(z > 0, z, LEAKY_SLOPE * z).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
