@@ -97,3 +97,25 @@ class TestTrainLoop:
         left = sorted(os.listdir(d))
         assert len(left) == 10
         assert left[0] == "yolov3_m_checkpoint_000025.npz"
+
+    def test_multi_scale_training_smoke(self, coco_dir):
+        """Multi-scale dims change across net batches; per-dim jit cache
+        compiles one executable per resolution (SURVEY.md bucketing plan)."""
+        from yolo_v3_tpu.data.datasets import ListDataset
+        from yolo_v3_tpu.data.loader import DataHelper
+        from yolo_v3_tpu.data.sampler import CyclicSampler
+        from yolo_v3_tpu.data import transforms as T
+
+        ds = ListDataset(coco_dir, trans_fn=lambda dim: T.training_transform(dim))
+        # dims roll every 4 samples = batch_size * net_subdivisions
+        sampler = CyclicSampler(len(ds), 2, seed=4, dim=None,
+                                rand_dim_interval=4, dim_mult_range=(2, 4))
+        data = DataHelper(ds, sampler, max_net_batches=3, net_subdivisions=2,
+                          prefetch=0)
+        dims_seen = {d[0] for d in sampler.dims}
+        assert dims_seen <= {64, 96}
+
+        init = D.init_yolonet(jax.random.PRNGKey(0), CFG.num_classes)
+        p, s, _, rec = train(data, *jax.tree.map(jnp.array, init), CFG, TCFG,
+                             log_fn=lambda s: None)
+        assert np.isfinite(rec.current_stats["loss"])
