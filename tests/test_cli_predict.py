@@ -124,3 +124,51 @@ class TestPredictHarness:
         show_detections_comparisons([det1, det2], samples, ["a", "b", "c"],
                                     conf_thr=0.2, save_path=out)
         assert os.path.getsize(out) > 0
+
+
+class TestCLITrainEval:
+    @pytest.fixture(scope="class")
+    def coco_dir(self, tmp_path_factory):
+        import cv2
+
+        root = tmp_path_factory.mktemp("clicoco")
+        (root / "images").mkdir()
+        (root / "labels").mkdir()
+        rng = np.random.default_rng(9)
+        paths = []
+        for i in range(4):
+            img = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+            p = root / "images" / f"img_{i:04d}.jpg"
+            cv2.imwrite(str(p), img)
+            np.savetxt(str(root / "labels" / f"img_{i:04d}.txt"),
+                       np.array([[1, 0.5, 0.5, 0.4, 0.4]], np.float32),
+                       fmt="%.6f")
+            paths.append(str(p))
+        (root / "list.txt").write_text("\n".join(paths) + "\n")
+        return root
+
+    def test_cli_train_then_eval(self, coco_dir, names_file, tmp_path):
+        from yolo_v3_tpu.cli import main
+        from yolo_v3_tpu.train.checkpoint import get_latest_checkpoint
+
+        wdir = str(tmp_path / "weights")
+        main([
+            "train", "--train-list", str(coco_dir / "list.txt"),
+            "--names", names_file, "--model-id", "clitest",
+            "--weight-dir", wdir, "--dim", "64", "--batch-size", "2",
+            "--subdivisions", "1", "--max-net-batches", "2",
+        ])
+        path, it = get_latest_checkpoint("clitest", wdir)
+        assert path is not None and it >= 1
+
+        import json
+
+        workdir = str(tmp_path / "evalout")
+        main([
+            "eval", "--val-list", str(coco_dir / "list.txt"),
+            "--weights", "random", "--names", names_file, "--dim", "64",
+            "--batch-size", "2", "--letterbox", "--precision", "fp32",
+            "--workdir", workdir,
+        ])
+        res = json.load(open(workdir + "/results.json"))
+        assert isinstance(res, list)
