@@ -78,6 +78,37 @@ def main():
             results["nms_ms_batch64"] = round(max(ms - ms_f, 0.0), 3)
             results["nms_ms_per_image"] = round(max(ms - ms_f, 0.0) / batch, 4)
 
+    # optional: training-step throughput (BENCH_TRAIN=1; adds a long compile)
+    import os
+
+    if os.environ.get("BENCH_TRAIN") == "1":
+        from yolo_v3_tpu.train.optimizer import make_optimizer
+        from yolo_v3_tpu.train.step import make_train_step
+        from yolo_v3_tpu.utils.config import TrainConfig
+
+        tcfg = TrainConfig(lr=1e-3, backbone_lr=1e-4)
+        tx = make_optimizer(params, tcfg)
+        opt_state = tx.init(params)
+        step = make_train_step(config, tx)
+        B = 16
+        imgs = jnp.asarray(
+            rng.uniform(0, 1, (1, B, 416, 416, 3)).astype(np.float32)
+        )
+        labels = np.zeros((1, B, config.max_labels, 5), np.float32)
+        labels[..., :3, :] = [1, 0.5, 0.5, 0.3, 0.3]
+        labels = jnp.asarray(labels)
+
+        p, s, o, st = step(params, state, opt_state, imgs, labels)
+        _sync(st)
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            p, s, o, st = step(p, s, o, imgs, labels)
+        _sync(st)
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        results["train_ms_per_step_bs16"] = round(ms, 2)
+        results["train_imgs_per_sec"] = round(B / ms * 1e3, 1)
+
     print(json.dumps({
         "metric": "imgs_per_sec_per_chip_yolov3_416_bf16_e2e",
         "value": round(best, 1),

@@ -177,3 +177,24 @@ class TestLetterbox:
         )
         # full-frame box maps back to full original frame in xywh
         np.testing.assert_allclose(out[0], [0, 0, 640, 480], atol=1.5)
+
+
+class TestLetterboxLabels:
+    def test_roundtrip(self):
+        labels = jnp.asarray([[2.0, 0.4, 0.6, 0.2, 0.3]])
+        fwd = B.letterbox_labels(labels, 640, 480, 416, 416)
+        back = B.letterbox_labels_reverse(fwd, 640, 480, 416, 416)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(labels),
+                                   rtol=1e-5, atol=1e-6)
+        # class column untouched
+        assert float(fwd[0, 0]) == 2.0
+
+    def test_matches_box_letterbox_math(self):
+        """Label mapping must agree with letterbox_params geometry."""
+        org_w, org_h, dim = 640, 480, 416
+        rw, rh, xp, yp, ratio = B.letterbox_params(org_w, org_h, dim, dim)
+        labels = jnp.asarray([[0.0, 0.5, 0.5, 0.4, 0.4]])
+        fwd = np.asarray(B.letterbox_labels(labels, org_w, org_h, dim, dim))[0]
+        np.testing.assert_allclose(fwd[1], (0.5 * rw + xp) / dim, atol=1e-6)
+        np.testing.assert_allclose(fwd[2], (0.5 * rh + yp) / dim, atol=1e-6)
+        np.testing.assert_allclose(fwd[3], 0.4 * rw / dim, atol=1e-6)

@@ -172,3 +172,29 @@ class TestCLITrainEval:
         ])
         res = json.load(open(workdir + "/results.json"))
         assert isinstance(res, list)
+
+    def test_detector_from_training_checkpoint(self, coco_dir, names_file,
+                                               tmp_path):
+        """Composite training checkpoints load directly into a Detector."""
+        from yolo_v3_tpu.detector import Detector
+        from yolo_v3_tpu.train.checkpoint import get_latest_checkpoint
+        from yolo_v3_tpu.utils.config import YoloConfig
+
+        wdir = str(tmp_path / "w2")
+        from yolo_v3_tpu.cli import main
+
+        main([
+            "train", "--train-list", str(coco_dir / "list.txt"),
+            "--names", names_file, "--model-id", "ck",
+            "--weight-dir", wdir, "--dim", "64", "--batch-size", "2",
+            "--subdivisions", "1", "--max-net-batches", "1",
+        ])
+        path, _ = get_latest_checkpoint("ck", wdir)
+        det = Detector.from_checkpoint(
+            path, YoloConfig(num_classes=3, img_dim=64, pre_nms_topk=64,
+                             max_detections=16), precision="fp32",
+        )
+        img = np.random.default_rng(0).integers(0, 255, (80, 100, 3),
+                                                dtype=np.uint8)
+        out = det.detect([img], conf_thr=0.3)
+        assert out[0].shape[1] == 7

@@ -100,8 +100,18 @@ class Detector:
 
     @classmethod
     def from_checkpoint(cls, path: str, config: YoloConfig = YoloConfig(), **kw) -> "Detector":
-        tree, _ = W.load_pytree(path)
-        return cls(tree["params"], tree["state"], config, **kw)
+        """Load either a plain {params, state} npz pytree or a composite
+        training checkpoint (train/checkpoint.py)."""
+        try:
+            tree, _ = W.load_pytree(path)
+            if "params" in tree and "state" in tree:
+                return cls(tree["params"], tree["state"], config, **kw)
+        except Exception:
+            pass
+        from yolo_v3_tpu.train.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(path)
+        return cls(ckpt["params"], ckpt["state"], config, **kw)
 
     # -- inference --------------------------------------------------------
 

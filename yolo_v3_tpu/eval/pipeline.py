@@ -57,22 +57,30 @@ def generate_results_file(
         if native_available():
             native = NativePrefetcher(n_threads=2)
 
-    def detect_preprocessed(imgs_np, orgs_np):
+    def detect_device(imgs_np, orgs_np, preprocessed: bool = False):
+        """Launch eval-mode detection; returns the device-side [B, M, 8]
+        result WITHOUT forcing a host readback (pipelined by the caller)."""
         import jax.numpy as jnp
-
-        from yolo_v3_tpu.ops.postprocess import detections_to_lists
 
         pipeline = detector._pipeline(
             conf_thr if conf_thr is not None else detector.config.eval_conf_thr,
             nms_thr if nms_thr is not None else detector.config.eval_nms_thr,
             True, True,
         )
-        res = pipeline(detector.params, jnp.asarray(imgs_np), jnp.asarray(orgs_np))
+        x = imgs_np if preprocessed else jnp.asarray(imgs_np)
+        org = orgs_np if preprocessed else jnp.asarray(orgs_np)
+        return pipeline(detector.params, x, org)
+
+    from yolo_v3_tpu.ops.postprocess import detections_to_lists
+
+    def to_rows(res):
         return [rows[:, [6, 0, 1, 2, 3, 5, 4]] for rows in detections_to_lists(res)]
 
     try:
         with JsonPredictionWriter(out, class_names, is_letterbox) as writer:
             paths = ds.img_list
+            pending = None  # (ids, device_result) — 1-deep pipeline so the
+            # host readback of batch k overlaps device compute of batch k+1
             for start in range(0, len(paths), batch_size):
                 chunk = paths[start:start + batch_size]
                 ids = [get_image_id_from_path(p) for p in chunk]
@@ -88,19 +96,22 @@ def generate_results_file(
 
                             imgs_np[j] = letterbox_host(raw, (eff_dim, eff_dim))
                             orgs_np[j] = (raw.shape[1], raw.shape[0])
-                    preds = detect_preprocessed(imgs_np, orgs_np)
+                    res = detect_device(imgs_np, orgs_np)
                 else:
                     imgs = [ds.load_raw(start + j)["img"] for j in range(len(chunk))]
-                    preds = detector.detect(
-                        imgs, conf_thr=conf_thr, nms_thr=nms_thr,
-                        is_eval=True, dim=dim,
-                    )
+                    x, org = detector.preprocess(imgs, dim)
+                    res = detect_device(x, org, preprocessed=True)
 
-                for image_id, rows in zip(ids, preds):
-                    writer.add(image_id, rows)
+                if pending is not None:
+                    for image_id, rows in zip(pending[0], to_rows(pending[1])):
+                        writer.add(image_id, rows)
+                pending = (ids, res)
                 if progress:
                     print(f"\reval {min(start + batch_size, len(paths))}/"
                           f"{len(paths)}", end="", file=sys.stderr)
+            if pending is not None:
+                for image_id, rows in zip(pending[0], to_rows(pending[1])):
+                    writer.add(image_id, rows)
             if progress:
                 print(file=sys.stderr)
     finally:

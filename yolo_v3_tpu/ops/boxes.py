@@ -32,6 +32,8 @@ __all__ = [
     "iou_matrix",
     "wh_iou",
     "letterbox_params",
+    "letterbox_labels",
+    "letterbox_labels_reverse",
     "letterbox_reverse",
     "rescale_boxes",
     "correct_yolo_boxes",
@@ -258,6 +260,40 @@ def rescale_boxes(boxes: jnp.ndarray, org_w, org_h, new_w, new_h) -> jnp.ndarray
     x2 = jnp.clip(boxes[..., 2] / rx, 0, org_w)
     y2 = jnp.clip(boxes[..., 3] / ry, 0, org_h)
     return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def letterbox_labels(labels: jnp.ndarray, org_w, org_h, new_w, new_h) -> jnp.ndarray:
+    """Map relative-cxcywh label rows [..., >=5] (cls, cx, cy, w, h) from
+    original-image space into letterboxed space (reference letterbox_label,
+    utils.py:12-21)."""
+    labels = jnp.asarray(labels)
+    rw = jnp.floor(org_w * jnp.minimum(new_w / org_w, new_h / org_h))
+    rh = jnp.floor(org_h * jnp.minimum(new_w / org_w, new_h / org_h))
+    xp = jnp.floor((new_w - rw) / 2)
+    yp = jnp.floor((new_h - rh) / 2)
+    cx = labels[..., 1] * (rw / new_w) + xp / new_w
+    cy = labels[..., 2] * (rh / new_h) + yp / new_h
+    w = labels[..., 3] * (rw / new_w)
+    h = labels[..., 4] * (rh / new_h)
+    out = labels.at[..., 1].set(cx).at[..., 2].set(cy)
+    return out.at[..., 3].set(w).at[..., 4].set(h)
+
+
+def letterbox_labels_reverse(labels: jnp.ndarray, org_w, org_h, new_w, new_h) -> jnp.ndarray:
+    """Inverse of :func:`letterbox_labels`, clipped to [0, 1] (reference
+    letterbox_label_reverse, utils.py:23-32)."""
+    labels = jnp.asarray(labels)
+    ratio = jnp.minimum(new_w / org_w, new_h / org_h)
+    rw = jnp.floor(org_w * ratio)
+    rh = jnp.floor(org_h * ratio)
+    xp = jnp.floor((new_w - rw) / 2)
+    yp = jnp.floor((new_h - rh) / 2)
+    cx = jnp.clip((labels[..., 1] - xp / new_w) / (rw / new_w), 0, 1)
+    cy = jnp.clip((labels[..., 2] - yp / new_h) / (rh / new_h), 0, 1)
+    w = jnp.clip(labels[..., 3] / (rw / new_w), 0, 1)
+    h = jnp.clip(labels[..., 4] / (rh / new_h), 0, 1)
+    out = labels.at[..., 1].set(cx).at[..., 2].set(cy)
+    return out.at[..., 3].set(w).at[..., 4].set(h)
 
 
 def correct_yolo_boxes(
