@@ -137,3 +137,38 @@ class TestDataParallel:
         assert mesh.devices.shape == (8, 1)
         mesh2 = M.make_mesh(space=2)
         assert mesh2.devices.shape == (4, 2)
+
+
+class TestMixedPrecision:
+    def test_bf16_step_close_to_f32(self, net, rng):
+        params, state = net
+        tcfg = TrainConfig(lr=1e-3, backbone_lr=1e-4)
+        tx = make_optimizer(params, tcfg)
+        imgs, labels = tiny_batch(rng)
+
+        step32 = make_train_step(CFG, tx)
+        step16 = make_train_step(CFG, tx, compute_dtype=jnp.bfloat16)
+        p32, s32, _, st32 = step32(params, state, tx.init(params), imgs, labels)
+        p16, s16, _, st16 = step16(params, state, tx.init(params), imgs, labels)
+
+        # master params stay f32 and move in the same direction
+        assert jax.tree.leaves(p16)[0].dtype == jnp.float32
+        l32, l16 = float(st32["loss"]), float(st16["loss"])
+        assert abs(l16 - l32) / l32 < 0.05
+        # all updates finite
+        for a in jax.tree.leaves(p16):
+            assert np.all(np.isfinite(np.asarray(a)))
+
+    def test_bf16_training_reduces_loss(self, net, rng):
+        params, state = net
+        tcfg = TrainConfig(lr=1e-3, backbone_lr=1e-4, compute_dtype="bfloat16")
+        tx = make_optimizer(params, tcfg)
+        opt_state = tx.init(params)
+        step = make_train_step(CFG, tx, compute_dtype=jnp.bfloat16)
+        imgs, labels = tiny_batch(rng)
+        losses = []
+        for _ in range(6):
+            params, state, opt_state, stats = step(params, state, opt_state,
+                                                   imgs, labels)
+            losses.append(float(stats["loss"]))
+        assert losses[-1] < losses[0]

@@ -100,6 +100,7 @@ def cmd_train(args):
         freeze_backbone=args.freeze_backbone,
         max_net_batches=args.max_net_batches,
         seed=args.seed,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
     )
 
     trans = lambda dim: T.training_transform(
@@ -223,6 +224,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--resume", action="store_true")
     t.add_argument("--data-parallel", action="store_true")
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training (bf16 compute, fp32 master)")
     t.add_argument("--hue", type=float, default=0.1)
     t.add_argument("--saturation", type=float, default=1.5)
     t.add_argument("--exposure", type=float, default=1.5)

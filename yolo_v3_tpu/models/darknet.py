@@ -152,7 +152,11 @@ def init_yolonet(key, num_classes: int = 80, dtype=jnp.float32) -> Tuple[Params,
 # Apply
 # ---------------------------------------------------------------------------
 
-def _conv(x, w, stride: int):
+def _conv(x, w, stride: int, f32_out: bool = True):
+    """'SAME' conv.  ``f32_out=False`` keeps the input dtype (MXU still
+    accumulates fp32 for bf16 operands) — required on the training path so
+    the conv transpose sees matching dtypes under mixed precision; the
+    inference path keeps the fp32 epilogue."""
     ks = w.shape[0]
     pad = (ks - 1) // 2
     return lax.conv_general_dilated(
@@ -161,7 +165,7 @@ def _conv(x, w, stride: int):
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if f32_out else None,
     )
 
 
@@ -173,8 +177,9 @@ def conv_bn_leaky(
     training: bool = False,
 ) -> Tuple[jnp.ndarray, State]:
     """'SAME' conv (bias-less) + BatchNorm + LeakyReLU(0.1)
-    (reference conv_bn_relu.forward, darknet.py:43-44)."""
-    y = _conv(x, p["w"], stride)
+    (reference conv_bn_relu.forward, darknet.py:43-44).  BN math runs in
+    fp32 regardless of compute dtype."""
+    y = _conv(x, p["w"], stride, f32_out=False).astype(jnp.float32)
     if training:
         mean = jnp.mean(y, axis=(0, 1, 2))
         var = jnp.var(y, axis=(0, 1, 2))
@@ -238,7 +243,7 @@ def apply_head(
         )
         if i == 4:
             branch = y
-    det = _conv(y, params["det"]["w"], 1) + params["det"]["b"]
+    det = _conv(y, params["det"]["w"], 1, f32_out=False) + params["det"]["b"]
     return det.astype(x.dtype), branch, new_state
 
 

@@ -125,41 +125,36 @@ def build_targets_single(
     n_correct = jnp.sum((write & (cell_iou > 0.5)).astype(jnp.float32))
     n_gt = jnp.sum(write.astype(jnp.float32))
 
-    # ---- ordered scatter: later GTs overwrite earlier -------------------
-    zeros = jnp.zeros((nA, nH, nW), jnp.float32)
-    tgt0 = {
-        "obj": zeros,
-        "coord": zeros,
-        "tconf": zeros,
-        "tx": zeros,
-        "ty": zeros,
-        "tw": zeros,
-        "th": zeros,
-        "tcls": jnp.zeros((nA, nH, nW, num_classes), jnp.float32),
+    # ---- 'last GT wins' scatter, fully vectorized -----------------------
+    # The reference writes GTs sequentially so a later GT overwrites an
+    # earlier one at the same (anchor, cell) (yololayer.py:162-169).  That
+    # is exactly "the writer with the highest slot index wins": one
+    # scatter-max of (t+1) per cell picks the winner, then targets are
+    # gathered from the winning GT's row — no sequential loop in the graph.
+    cell = local_a * (nH * nW) + gj * nW + gi                     # [T]
+    order = (jnp.arange(T, dtype=jnp.int32) + 1) * write.astype(jnp.int32)
+    flat_win = jnp.zeros((nA * nH * nW,), jnp.int32).at[cell].max(order)
+    winner = flat_win.reshape(nA, nH, nW)
+    has = winner > 0
+    tsel = jnp.maximum(winner - 1, 0)
+
+    def fill(vals):
+        return jnp.where(has, vals[tsel], 0.0)
+
+    tgt = {
+        "obj": has.astype(jnp.float32),
+        "coord": fill(coord_w),
+        "tconf": has.astype(jnp.float32),
+        "tx": fill(t_x),
+        "ty": fill(t_y),
+        "tw": fill(t_w),
+        "th": fill(t_h),
+        "tcls": jnp.where(
+            has[..., None],
+            jax.nn.one_hot(gcls, num_classes)[tsel],
+            0.0,
+        ),
     }
-
-    def body(t, tgt):
-        f = write[t]
-        a, j, i = local_a[t], gj[t], gi[t]
-
-        def put(arr, val):
-            old = arr[a, j, i]
-            return arr.at[a, j, i].set(jnp.where(f, val, old))
-
-        tgt = dict(tgt)
-        tgt["obj"] = put(tgt["obj"], 1.0)
-        tgt["coord"] = put(tgt["coord"], coord_w[t])
-        tgt["tconf"] = put(tgt["tconf"], 1.0)
-        tgt["tx"] = put(tgt["tx"], t_x[t])
-        tgt["ty"] = put(tgt["ty"], t_y[t])
-        tgt["tw"] = put(tgt["tw"], t_w[t])
-        tgt["th"] = put(tgt["th"], t_h[t])
-        onehot = jax.nn.one_hot(gcls[t], num_classes)
-        old_cls = tgt["tcls"][a, j, i]
-        tgt["tcls"] = tgt["tcls"].at[a, j, i].set(jnp.where(f, onehot, old_cls))
-        return tgt
-
-    tgt = jax.lax.fori_loop(0, T, body, tgt0)
     return tgt, noobj_mask, n_correct, n_gt
 
 

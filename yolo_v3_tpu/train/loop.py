@@ -69,7 +69,10 @@ def train(
         state = M.replicate(mesh, state)
         opt_state = M.replicate(mesh, opt_state)
 
-    step = make_train_step(config, tx)
+    compute_dtype = (
+        jnp.bfloat16 if tcfg.compute_dtype == "bfloat16" else jnp.float32
+    )
+    step = make_train_step(config, tx, compute_dtype=compute_dtype)
     S = data.net_subdivisions
 
     micro_imgs, micro_labels = [], []

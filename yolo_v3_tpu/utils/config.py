@@ -106,6 +106,9 @@ class TrainConfig:
     dim_min_mult: int = 10             # dims = randint(10, 20) * 32 => 320..608
     dim_max_mult: int = 20
     seed: int = 0
+    # "float32" (reference-exact) or "bfloat16" (mixed precision: bf16
+    # compute, fp32 master params/grads/BN stats — ~3x faster on TPU)
+    compute_dtype: str = "float32"
 
 
 def anchors_flat(anchors: Sequence[Tuple[float, float]]) -> Tuple[float, ...]:
