@@ -85,6 +85,10 @@ def _res_block_kernel(y_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     out_ref[0] = y[1:1 + tile_h] + out
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 def fused_res_block(
     y: jnp.ndarray,
     w1: jnp.ndarray,   # [1, 1, C, C/2] or [C, C/2]
@@ -94,13 +98,30 @@ def fused_res_block(
     tile_h: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused residual block on [B, H, W, C] (H divisible by tile_h)."""
+    """Fused residual block on [B, H, W, C] (H divisible by tile_h).
+
+    Channel dims below the 128-lane tile are zero-padded up to 128 (Mosaic
+    requires lane-aligned HBM slices, and XLA stores such tensors
+    lane-padded anyway, so the DMA moves the same bytes).  Zero weight/bias
+    padding keeps numerics exact; the output is sliced back to C.
+    """
     b, h, w, c = y.shape
     cmid = w2.shape[2]
     if w1.ndim == 4:
         w1 = w1.reshape(c, cmid)
     assert h % tile_h == 0, (h, tile_h)
     n_tiles = h // tile_h
+
+    c_pad = _round_up(c, 128)
+    m_pad = _round_up(cmid, 128)
+    orig_c = c
+    if c_pad != c or m_pad != cmid:
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, c_pad - c)))
+        w1 = jnp.pad(w1, ((0, c_pad - c), (0, m_pad - cmid)))
+        b1 = jnp.pad(b1, (0, m_pad - cmid))
+        w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, m_pad - cmid), (0, c_pad - c)))
+        b2 = jnp.pad(b2, (0, c_pad - c))
+        c, cmid = c_pad, m_pad
 
     # one zero row top/bottom = the 3x3's vertical zero padding; windows of
     # the padded array are then always in-bounds
@@ -110,7 +131,7 @@ def fused_res_block(
         _res_block_kernel, tile_h=tile_h, width=w, cin=c, cmid=cmid
     )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
@@ -132,3 +153,4 @@ def fused_res_block(
         ],
         interpret=interpret,
     )(y_padded, w1, b1, w2, b2)
+    return out[..., :orig_c] if orig_c != c else out
