@@ -189,18 +189,22 @@ class TestBNFolding:
 
 class TestSpaceToDepthStem:
     def test_s2d_entry_matches_baseline(self, tiny_net, rng):
-        """The s2d-remapped stem+down0 must equal conv stem + down conv."""
+        """The s2d-remapped stem+stage0+down1 must equal the conv chain."""
         params, state = tiny_net
         folded = D.fold_batchnorm(params, state)
         s2d = D.fold_space_to_depth(folded)
+        bk = folded["backbone"]
 
         x = jnp.asarray(rng.uniform(0, 1, (2, 96, 96, 3)).astype(np.float32))
-        want = D._conv_bias_leaky(
-            folded["backbone"]["stage0"]["down"],
-            D._conv_bias_leaky(folded["backbone"]["stem"], x),
-            stride=2,
-        )
+        y = D._conv_bias_leaky(bk["stem"], x)
+        y = D._conv_bias_leaky(bk["stage0"]["down"], y, stride=2)
+        r = D._conv_bias_leaky(bk["stage0"]["res0"]["conv1"], y)
+        r = D._conv_bias_leaky(bk["stage0"]["res0"]["conv2"], r)
+        y = y + r
+        want = D._conv_bias_leaky(bk["stage1"]["down"], y, stride=2)
+
         got = D._apply_s2d_entry(s2d, x)
+        assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
 

@@ -330,13 +330,18 @@ def apply_yolonet_folded(params: Params, x: jnp.ndarray):
     p = params["backbone"]
     use_s2d = "s2d" in params
     if use_s2d:
-        y = _apply_s2d_entry(params, x)  # fused stem + stage0 downsample
+        # stem + stage0 + stage1.down all in the s2d domain
+        y = _apply_s2d_entry(params, x)
+        start_stage = 1
     else:
         y = _conv_bias_leaky(p["stem"], x)
+        start_stage = 0
     routes = []
     for i, nblk in enumerate(DARKNET53_BLOCKS):
+        if i < start_stage:
+            continue
         sp = p[f"stage{i}"]
-        if not (use_s2d and i == 0):
+        if not (use_s2d and i == 1):
             y = _conv_bias_leaky(sp["down"], y, stride=2)
         for b in range(nblk):
             r = _conv_bias_leaky(sp[f"res{b}"]["conv1"], y)
@@ -382,49 +387,145 @@ def apply_yolonet_folded(params: Params, x: jnp.ndarray):
 # from stage0's residual blocks unchanged.
 # ---------------------------------------------------------------------------
 
-def fold_space_to_depth(folded: Params) -> Params:
-    """Add 's2d' remapped stem/down0 weights to BN-folded params."""
+def _s2d_1x1_weights(w):
+    """[1,1,cin,cout] -> [1,1,4cin,4cout] block-diagonal: a 1x1 conv acts on
+    each of the 4 spatial sub-positions independently."""
     import numpy as np
 
-    stem_w = np.asarray(folded["backbone"]["stem"]["w"], np.float32)   # [3,3,3,32]
-    stem_b = np.asarray(folded["backbone"]["stem"]["b"], np.float32)
-    down_w = np.asarray(folded["backbone"]["stage0"]["down"]["w"], np.float32)  # [3,3,32,64]
-    down_b = np.asarray(folded["backbone"]["stage0"]["down"]["b"], np.float32)
-    c1 = stem_w.shape[3]              # 32
-    cin = stem_w.shape[2]             # 3
+    w = np.asarray(w, np.float32).reshape(w.shape[2], w.shape[3])
+    cin, cout = w.shape
+    out = np.zeros((1, 1, 4 * cin, 4 * cout), np.float32)
+    for k in range(4):
+        out[0, 0, k * cin:(k + 1) * cin, k * cout:(k + 1) * cout] = w
+    return out
 
-    # stem': [3, 3, 4*cin, 4*c1]; input blocks from x padded (1,3)x(1,3)
-    w1 = np.zeros((3, 3, 4 * cin, 4 * c1), np.float32)
+
+def _s2d_3x3_s1_weights(w):
+    """stride-1 3x3 conv, s2d input AND output: [3,3,cin,cout] ->
+    [3,3,4cin,4cout], block-space padding (1,1).
+
+    Output sub-position (dy,dx) row 2I+dy taps input rows 2I+t (t=dy+u-1),
+    which live in block I + t//2 at sub-row t%2.
+    """
+    import numpy as np
+
+    w = np.asarray(w, np.float32)
+    cin, cout = w.shape[2], w.shape[3]
+    out = np.zeros((3, 3, 4 * cin, 4 * cout), np.float32)
     for dy in range(2):
         for dx in range(2):
             for u in range(3):
                 for v in range(3):
                     t, s = dy + u - 1, dx + v - 1
-                    p, by = (t + 1) // 2, (t + 1) % 2
-                    q, bx = (s + 1) // 2, (s + 1) % 2
-                    ci_blk = (by * 2 + bx) * cin
-                    co_blk = (dy * 2 + dx) * c1
-                    w1[p, q, ci_blk:ci_blk + cin, co_blk:co_blk + c1] = (
-                        stem_w[u, v]
-                    )
-    b1 = np.tile(stem_b, 4)
+                    P, by = t // 2 + 1, t % 2
+                    Q, bx = s // 2 + 1, s % 2
+                    ci = (by * 2 + bx) * cin
+                    co = (dy * 2 + dx) * cout
+                    out[P, Q, ci:ci + cin, co:co + cout] = w[u, v]
+    return out
 
-    # down0': [2, 2, 4*c1, c2]; consumes the s2d stem output, pad (1,0)x(1,0)
-    c2 = down_w.shape[3]
-    w2 = np.zeros((2, 2, 4 * c1, c2), np.float32)
+
+def _s2d_3x3_s2_weights(w):
+    """stride-2 3x3 conv, s2d input AND s2d output: [3,3,cin,cout] ->
+    [3,3,4cin,4cout] applied with stride 1... no — block-space stride 2? No:
+    output block I covers output rows 2I,2I+1 = input rows 4I+2dy+u-1,
+    i.e. input blocks 2I + (2dy+u-1)//2 — a 3-tap kernel at block stride 2,
+    padding (1,1).
+    """
+    import numpy as np
+
+    w = np.asarray(w, np.float32)
+    cin, cout = w.shape[2], w.shape[3]
+    out = np.zeros((3, 3, 4 * cin, 4 * cout), np.float32)
+    for dy in range(2):
+        for dx in range(2):
+            for u in range(3):
+                for v in range(3):
+                    t, s = 2 * dy + u - 1, 2 * dx + v - 1
+                    P, by = t // 2 + 1, t % 2
+                    Q, bx = s // 2 + 1, s % 2
+                    ci = (by * 2 + bx) * cin
+                    co = (dy * 2 + dx) * cout
+                    out[P, Q, ci:ci + cin, co:co + cout] = w[u, v]
+    return out
+
+
+def _s2d_3x3_s2_exit_weights(w):
+    """stride-2 3x3 conv, s2d input, NATIVE output: [3,3,cin,cout] ->
+    [2,2,4cin,cout], block-space padding (1,0) — leaves the s2d domain."""
+    import numpy as np
+
+    w = np.asarray(w, np.float32)
+    cin, cout = w.shape[2], w.shape[3]
+    out = np.zeros((2, 2, 4 * cin, cout), np.float32)
     for u in range(3):
         for v in range(3):
             t, s = u - 1, v - 1
-            p, dy = ((0, 1), (1, 0), (1, 1))[u]
-            q, dx = ((0, 1), (1, 0), (1, 1))[v]
-            ci_blk = (dy * 2 + dx) * c1
-            w2[p, q, ci_blk:ci_blk + c1, :] = down_w[u, v]
+            P, by = t // 2 + 1, t % 2
+            Q, bx = s // 2 + 1, s % 2
+            ci = (by * 2 + bx) * cin
+            out[P, Q, ci:ci + cin, :] = w[u, v]
+    return out
 
-    dtype = folded["backbone"]["stem"]["w"].dtype
+
+def fold_space_to_depth(folded: Params) -> Params:
+    """Add 's2d' remapped weights covering stem + ALL of stage0 + stage1's
+    downsample, so every tensor before stage1 has >=128 channels."""
+    import numpy as np
+
+    bk = folded["backbone"]
+    stem_w = np.asarray(bk["stem"]["w"], np.float32)                 # [3,3,3,32]
+    stem_b = np.asarray(bk["stem"]["b"], np.float32)
+    c1 = stem_w.shape[3]
+    cin = stem_w.shape[2]
+
+    # stem': [3,3,12,128] VALID conv over blocks of x padded (1,3)x(1,3);
+    # the +1 row/col shift from the pad moves the tap blocks to I..I+2,
+    # hence P=(t+1)//2 with no block-space padding.
+    w_stem = np.zeros((3, 3, 4 * cin, 4 * c1), np.float32)
+    for dy in range(2):
+        for dx in range(2):
+            for u in range(3):
+                for v in range(3):
+                    t, s = dy + u - 1, dx + v - 1
+                    P, by = (t + 1) // 2, (t + 1) % 2
+                    Q, bx = (s + 1) // 2, (s + 1) % 2
+                    ci = (by * 2 + bx) * cin
+                    co = (dy * 2 + dx) * c1
+                    w_stem[P, Q, ci:ci + cin, co:co + c1] = stem_w[u, v]
+
+    s0 = bk["stage0"]
+    s1 = bk["stage1"]
+    dtype = bk["stem"]["w"].dtype
+
+    def block(w, b):
+        return {"w": jnp.asarray(w, dtype), "b": jnp.asarray(b, dtype)}
+
+    import numpy as np  # noqa: F811
+
     out = dict(folded)
     out["s2d"] = {
-        "stem": {"w": jnp.asarray(w1, dtype), "b": jnp.asarray(b1, dtype)},
-        "down0": {"w": jnp.asarray(w2, dtype), "b": jnp.asarray(down_b, dtype)},
+        # [208,208,12+pad] -> [208,208,128]
+        "stem": block(w_stem, np.tile(stem_b, 4)),
+        # stage0 downsample: s2d -> s2d  [208,208,128] -> [104,104,256]
+        "down0": block(
+            _s2d_3x3_s2_weights(s0["down"]["w"]),
+            np.tile(np.asarray(s0["down"]["b"], np.float32), 4),
+        ),
+        # stage0 residual block in s2d domain
+        "res0_1": block(
+            _s2d_1x1_weights(s0["res0"]["conv1"]["w"]),
+            np.tile(np.asarray(s0["res0"]["conv1"]["b"], np.float32), 4),
+        ),
+        "res0_2": block(
+            _s2d_3x3_s1_weights(s0["res0"]["conv2"]["w"]),
+            np.tile(np.asarray(s0["res0"]["conv2"]["b"], np.float32), 4),
+        ),
+        # stage1 downsample exits the s2d domain: [104,104,256] -> [104,104,128]
+        "down1": block(
+            _s2d_3x3_s2_exit_weights(s1["down"]["w"]),
+            np.asarray(s1["down"]["b"], np.float32),
+        ),
     }
     return out
 
@@ -437,22 +538,30 @@ def _space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h // 2, w // 2, 4 * c)
 
 
+def _conv_s2d(p, x, stride=1, padding=((0, 0), (0, 0))):
+    y = lax.conv_general_dilated(
+        x, p["w"], (stride, stride), padding,
+        dimension_numbers=_DN, preferred_element_type=jnp.float32,
+    ) + p["b"].astype(jnp.float32)
+    return jnp.where(y > 0, y, LEAKY_SLOPE * y).astype(x.dtype)
+
+
 def _apply_s2d_entry(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """x [B, H, W, 3] -> stage0-res input [B, H/2, W/2, 64] via the s2d
-    stem + down0 (numerically equal to stem conv + down conv)."""
+    """x [B, H, W, 3] -> stage1-res input [B, H/4, W/4, 128] with stem,
+    stage0 (down + residual block), and stage1's downsample all computed in
+    the 2x2 space-to-depth domain — numerically equal to the plain conv
+    path, but every tensor carries >=128 channels (full TPU lanes)."""
     sp = params["s2d"]
     xp = jnp.pad(x, ((0, 0), (1, 3), (1, 3), (0, 0)))
     xb = _space_to_depth2(xp)                      # [B, H/2+2, W/2+2, 12]
-    y = lax.conv_general_dilated(
-        xb, sp["stem"]["w"], (1, 1), ((0, 0), (0, 0)),
-        dimension_numbers=_DN, preferred_element_type=jnp.float32,
-    ) + sp["stem"]["b"].astype(jnp.float32)
-    y = jnp.where(y > 0, y, LEAKY_SLOPE * y).astype(x.dtype)  # s2d(stem out)
-    z = lax.conv_general_dilated(
-        y, sp["down0"]["w"], (1, 1), ((1, 0), (1, 0)),
-        dimension_numbers=_DN, preferred_element_type=jnp.float32,
-    ) + sp["down0"]["b"].astype(jnp.float32)
-    return jnp.where(z > 0, z, LEAKY_SLOPE * z).astype(x.dtype)
+    y = _conv_s2d(sp["stem"], xb)                  # s2d(stem):  [H/2, W/2, 128]
+    y = _conv_s2d(sp["down0"], y, stride=2, padding=((1, 1), (1, 1)))
+    #                                              # s2d(down0): [H/4, W/4, 256]
+    r = _conv_s2d(sp["res0_1"], y)                 #             [H/4, W/4, 128]
+    r = _conv_s2d(sp["res0_2"], r, padding=((1, 1), (1, 1)))
+    y = y + r                                      # s2d residual add
+    # exit the s2d domain through stage1's downsample
+    return _conv_s2d(sp["down1"], y, padding=((1, 0), (1, 0)))
 
 
 # ---------------------------------------------------------------------------
