@@ -119,3 +119,19 @@ class TestTrainLoop:
         p, s, _, rec = train(data, *jax.tree.map(jnp.array, init), CFG, TCFG,
                              log_fn=lambda s: None)
         assert np.isfinite(rec.current_stats["loss"])
+
+    def test_same_seed_training_is_reproducible(self, coco_dir):
+        """Two fresh runs with identical seeds produce identical params —
+        the determinism contract end-to-end (data schedule + augmentation +
+        compiled step)."""
+        def run():
+            init = D.init_yolonet(jax.random.PRNGKey(0), CFG.num_classes)
+            p, s, _, _ = train(
+                make_data(coco_dir, 2, seed=11), *jax.tree.map(jnp.array, init),
+                CFG, TCFG, log_fn=lambda s: None,
+            )
+            return p
+
+        p1, p2 = run(), run()
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

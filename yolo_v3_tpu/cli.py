@@ -46,11 +46,15 @@ def cmd_detect(args):
 
     from yolo_v3_tpu.viz.draw import save_detections_image
 
+    # fail fast on the image before the (slow) model build/compile
+    raw = cv2.imread(args.image)
+    if raw is None:
+        raise FileNotFoundError(f"cannot read image: {args.image}")
+    img = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
+
     classes = _load_class_names(args.names) if args.names else None
     num_classes = len(classes) if classes else args.num_classes
     det = _build_detector(args, num_classes)
-
-    img = cv2.cvtColor(cv2.imread(args.image), cv2.COLOR_BGR2RGB)
     results = det.detect([img], conf_thr=args.conf_thr, nms_thr=args.nms_thr,
                          dim=args.dim)[0]
     for row in results:
