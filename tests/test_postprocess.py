@@ -187,3 +187,25 @@ class TestFusedPostprocess:
         fused = postprocess_from_raws(raws, cfg, 128, 0.2, 0.45, use_nms=False)
         for a, b in zip(detections_to_lists(legacy), detections_to_lists(fused)):
             assert rows_set(a) == rows_set(b)
+
+
+class TestApproxTopK:
+    def test_eval_approx_matches_exact_on_cpu(self, rng):
+        """approx_max_k at recall 0.99 on well-separated scores returns the
+        same detections as exact top-k (verified exactly on the CPU
+        backend; on TPU the recall guarantee applies)."""
+        import jax
+        from yolo_v3_tpu.ops.decode import decode_all
+        from yolo_v3_tpu.utils.config import YoloConfig
+
+        cfg = YoloConfig(num_classes=6, pre_nms_topk=128, max_detections=32)
+        raws = [
+            jnp.asarray(rng.normal(size=(2, g, g, 3 * 11)).astype(np.float32))
+            for g in (4, 8, 16)
+        ]
+        exact = postprocess_from_raws(raws, cfg, 128, 0.05, 0.45,
+                                      is_eval=True, approx_topk=False)
+        approx = postprocess_from_raws(raws, cfg, 128, 0.05, 0.45,
+                                       is_eval=True, approx_topk=True)
+        for a, b in zip(detections_to_lists(exact), detections_to_lists(approx)):
+            assert rows_set(a) == rows_set(b)

@@ -254,6 +254,7 @@ def postprocess_from_raws(
     nms_thr: float,
     is_eval: bool = False,
     use_nms: bool = True,
+    approx_topk: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused postprocess consuming raw head outputs directly.
 
@@ -291,20 +292,32 @@ def postprocess_from_raws(
 
     k = min(config.pre_nms_topk, n_total)
     m = config.max_detections
+    if approx_topk is None:
+        approx_topk = bool(is_eval and config.eval_approx_topk)
+
+    def top_k(x, kk):
+        """Exact by default; TPU-optimized approx_max_k (recall 0.99) when
+        requested — eval mode ranks N*C candidates, where exact top-k is
+        ~12x slower for no measurable mAP difference."""
+        if approx_topk:
+            return jax.lax.approx_max_k(x, kk, recall_target=0.99)
+        return jax.lax.top_k(x, kk)
 
     if is_eval:
         probs = jax.nn.sigmoid(cls_l) * obj[..., None]          # [B, N, C]
         score_flat = jnp.where(probs > conf_thr, probs, 0.0).reshape(
             probs.shape[0], n_total * C
         )
-        top_score, top_pair = jax.lax.top_k(score_flat, k)      # [B, K]
+        top_score, top_pair = top_k(score_flat, k)              # [B, K]
+        top_pair = top_pair.astype(jnp.int32)
         top_i = top_pair // C
         top_cls = (top_pair % C).astype(jnp.float32)
     else:
         cls_max_l = jnp.max(cls_l, axis=-1)                     # [B, N]
         score = obj * jax.nn.sigmoid(cls_max_l)
         score = jnp.where(score > conf_thr, score, 0.0)
-        top_score, top_i = jax.lax.top_k(score, k)              # [B, K]
+        top_score, top_i = top_k(score, k)                      # [B, K]
+        top_i = top_i.astype(jnp.int32)
         top_cls = jnp.take_along_axis(
             jnp.argmax(cls_l, axis=-1), top_i, axis=1
         ).astype(jnp.float32)

@@ -62,6 +62,10 @@ class YoloConfig:
     # emitted per-image results (COCOeval only scores maxDets=100 anyway).
     pre_nms_topk: int = 512
     max_detections: int = 128
+    # eval mode ranks N*C = ~850k (box, class) pairs per image; exact top-k
+    # costs ~86 ms/batch64 on TPU vs ~7 ms for approx_max_k(recall 0.99),
+    # with negligible mAP impact. Display mode always uses exact top-k.
+    eval_approx_topk: bool = True
 
     @property
     def num_scales(self) -> int:
