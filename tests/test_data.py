@@ -239,3 +239,41 @@ class TestCVAT:
         assert isinstance(name, str)
         if boxes:
             assert set(boxes[0].keys()) == {"cls", "x1", "y1", "x2", "y2"}
+
+
+class TestMultiHostSharding:
+    def _helper(self, coco_dir, host_id, n_hosts, max_batches=3):
+        ds = ListDataset(coco_dir, trans_fn=lambda dim: T.eval_transform(dim))
+        sampler = CyclicSampler(len(ds), 4, seed=0, dim=(64, 64))
+        return DataHelper(ds, sampler, max_batches=max_batches, prefetch=0,
+                          host_id=host_id, n_hosts=n_hosts)
+
+    def test_host_shards_concatenate_to_global_batch(self, coco_dir):
+        """Two hosts with the same seed produce complementary halves of the
+        single-host batch — deterministic multi-host data parallelism."""
+        single = [b["img"].copy() for b in self._helper(coco_dir, 0, 1)]
+        h0 = [b["img"].copy() for b in self._helper(coco_dir, 0, 2)]
+        h1 = [b["img"].copy() for b in self._helper(coco_dir, 1, 2)]
+        assert len(single) == len(h0) == len(h1) == 3
+        for s, a, b in zip(single, h0, h1):
+            assert a.shape == (2, 64, 64, 3)
+            np.testing.assert_array_equal(np.concatenate([a, b]), s)
+
+    def test_resume_with_sharding(self, coco_dir):
+        dh = self._helper(coco_dir, 1, 2, max_batches=4)
+        it = iter(dh)
+        first = [next(it)["img"].copy(), next(it)["img"].copy()]
+        ckpt = dh.state_dict()
+        dh2 = self._helper(coco_dir, 1, 2, max_batches=4)
+        dh2.load_state_dict(ckpt)
+        rest = [b["img"].copy() for b in dh2]
+        one_go = [b["img"].copy() for b in self._helper(coco_dir, 1, 2,
+                                                        max_batches=4)]
+        for a, b in zip(first + rest, one_go):
+            np.testing.assert_array_equal(a, b)
+
+    def test_indivisible_batch_rejected(self, coco_dir):
+        ds = ListDataset(coco_dir, trans_fn=lambda dim: T.eval_transform(dim))
+        sampler = CyclicSampler(len(ds), 4, seed=0, dim=(64, 64))
+        with pytest.raises(AssertionError):
+            DataHelper(ds, sampler, n_hosts=3)

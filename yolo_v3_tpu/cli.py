@@ -110,6 +110,7 @@ def cmd_train(args):
     trans = lambda dim: T.training_transform(
         dim, hue=args.hue, saturation=args.saturation,
         exposure=args.exposure, jitter=args.jitter, max_labels=cfg.max_labels,
+        extra_aug=args.extra_aug,
     )
     if args.cvat_xml:
         ds = CVATDataset(args.train_images or os.path.dirname(args.train_list),
@@ -234,6 +235,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--saturation", type=float, default=1.5)
     t.add_argument("--exposure", type=float, default=1.5)
     t.add_argument("--jitter", type=float, default=0.3)
+    t.add_argument("--extra-aug", action="store_true",
+                   help="extra photometric augmentation bank")
     t.set_defaults(fn=cmd_train)
 
     w = sub.add_parser("weights", help="weight file tools")

@@ -57,7 +57,21 @@ class DataHelper:
         net_subdivisions: int = 1,
         prefetch: int = 2,
         drop_keys: tuple = ("rng",),
+        host_id: int = 0,
+        n_hosts: int = 1,
     ):
+        """``host_id``/``n_hosts`` shard each (deterministically scheduled)
+        batch across hosts for multi-host data parallelism: every host runs
+        the same seed and schedule, and host h assembles contiguous slice h
+        of each global batch — the global batch is the concatenation of the
+        host shards, and per-sample seeds/dims stay identical to the
+        single-host run (the reference's determinism contract extended to a
+        slice, SURVEY.md §2.3)."""
+        assert sampler.batch_size % n_hosts == 0, (
+            f"batch_size {sampler.batch_size} not divisible by {n_hosts} hosts"
+        )
+        self.host_id = host_id
+        self.n_hosts = n_hosts
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = sampler.batch_size
@@ -89,10 +103,10 @@ class DataHelper:
 
     def _epoch_batches(self) -> Iterator[Dict[str, Any]]:
         n = len(self.sampler) // self.batch_size
+        shard = self.batch_size // self.n_hosts
         for b in range(n):
-            yield self._assemble(
-                list(range(b * self.batch_size, (b + 1) * self.batch_size))
-            )
+            start = b * self.batch_size + self.host_id * shard
+            yield self._assemble(list(range(start, start + shard)))
 
     def _gen(self) -> Iterator[Dict[str, Any]]:
         while self.current_batch < self.max_batches:

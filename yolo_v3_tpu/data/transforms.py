@@ -325,16 +325,22 @@ class ExtraAugmentations:
 
 
 def training_transform(dim: Tuple[int, int], hue=0.1, saturation=1.5,
-                       exposure=1.5, jitter=0.3, max_labels=90) -> Compose:
+                       exposure=1.5, jitter=0.3, max_labels=90,
+                       extra_aug: bool = False) -> Compose:
     """The reference training pipeline: HSV + jitter crop + flip + letterbox
-    + tensorize (reference README.md:49-56, dataset trans_fn usage)."""
-    return Compose([
+    + tensorize (reference README.md:49-56, dataset trans_fn usage);
+    ``extra_aug`` prepends the optional photometric bank
+    (reference ExtraAugmentations, transforms.py:292-329)."""
+    steps = [
         HSVAug(hue, saturation, exposure),
         RandomJitterCrop(jitter),
         RandomHorizontalFlip(0.5),
         Letterbox(dim),
         ToArray(max_labels=max_labels),
-    ])
+    ]
+    if extra_aug:
+        steps.insert(0, ExtraAugmentations())
+    return Compose(steps)
 
 
 def eval_transform(dim: Tuple[int, int], letterbox: bool = True,
