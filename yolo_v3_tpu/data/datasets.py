@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import os.path as osp
 from collections import OrderedDict
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

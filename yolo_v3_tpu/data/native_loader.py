@@ -18,7 +18,7 @@ import os
 import os.path as osp
 import subprocess
 import threading
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 import sys
 from typing import Optional, Sequence
 
-import numpy as np
 
 from yolo_v3_tpu.data.datasets import ListDataset
 from yolo_v3_tpu.eval.coco_json import (

@@ -22,7 +22,7 @@ block becomes conv+bias+leaky — one MXU op and one fused VPU epilogue.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

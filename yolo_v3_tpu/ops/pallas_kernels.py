@@ -15,7 +15,6 @@ bf16 inputs/weights, fp32 accumulation, leaky-ReLU(0.1) epilogues.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ state.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import optax

@@ -22,7 +22,6 @@ clipping once keeps the scan body collective-free.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,7 @@ import optax
 
 from yolo_v3_tpu.models import darknet as D
 from yolo_v3_tpu.models.loss import yolo_loss
-from yolo_v3_tpu.utils.config import TrainConfig, YoloConfig
+from yolo_v3_tpu.utils.config import YoloConfig
 
 
 def loss_fn(params, state, imgs, labels, config: YoloConfig,
