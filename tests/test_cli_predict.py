@@ -14,7 +14,7 @@ from yolo_v3_tpu.models import weights as W
 @pytest.fixture(scope="module")
 def tiny_weights(tmp_path_factory):
     root = tmp_path_factory.mktemp("w")
-    params, state = D.init_yolonet(jax.random.PRNGKey(0), num_classes=3)
+    params, state = D.init_yolonet(jax.random.PRNGKey(0), num_classes=3, blocks=(1, 1, 1, 1, 1))
     wpath = str(root / "model.weights")
     W.save_darknet_weights(params, state, wpath, seen=5)
     npath = str(root / "model.npz")
@@ -100,8 +100,8 @@ class TestPredictHarness:
         rng = np.random.default_rng(0)
         cfg = YoloConfig(num_classes=3, img_dim=64, pre_nms_topk=64,
                          max_detections=16)
-        p1, s1 = D.init_yolonet(jax.random.PRNGKey(0), 3)
-        p2, s2 = D.init_yolonet(jax.random.PRNGKey(1), 3)
+        p1, s1 = D.init_yolonet(jax.random.PRNGKey(0), 3, blocks=(1, 1, 1, 1, 1))
+        p2, s2 = D.init_yolonet(jax.random.PRNGKey(1), 3, blocks=(1, 1, 1, 1, 1))
         det1 = Detector(p1, s1, cfg, precision="fp32")
         det2 = Detector(p2, s2, cfg, precision="fp32")
 

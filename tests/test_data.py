@@ -211,6 +211,23 @@ class TestDataHelper:
         for a, b in zip(sync, pre):
             np.testing.assert_array_equal(a, b)
 
+    def test_worker_pool_matches_sync(self, coco_dir):
+        """Multiprocess assembly is bit-identical to in-process assembly:
+        all randomness rides in the (idx, dim, seed) schedule, so worker
+        processes add parallelism, never nondeterminism (the reference's
+        DataLoader-workers contract, dataset.py:461-465)."""
+        sync = [b["img"].copy() for b in self._helper(coco_dir, max_batches=4)]
+        ds = ListDataset(coco_dir, trans_fn=lambda dim: T.eval_transform(dim))
+        sampler = CyclicSampler(len(ds), 4, seed=0, dim=(64, 64))
+        dh = DataHelper(ds, sampler, max_batches=4, prefetch=2, num_workers=2)
+        try:
+            par = [b["img"].copy() for b in dh]
+        finally:
+            dh.close()
+        assert len(par) == 4
+        for a, b in zip(sync, par):
+            np.testing.assert_array_equal(a, b)
+
     def test_epoch_accounting(self, coco_dir):
         dh = self._helper(coco_dir, max_batches=4)  # 2 batches/epoch (8/4)
         assert dh.get_epoch_num_batches() == 2

@@ -15,7 +15,7 @@ from yolo_v3_tpu.utils.config import YoloConfig
 @pytest.fixture(scope="module")
 def det2():
     cfg = YoloConfig(num_classes=2, img_dim=160, pre_nms_topk=128, max_detections=32)
-    params, state = D.init_yolonet(jax.random.PRNGKey(0), num_classes=2)
+    params, state = D.init_yolonet(jax.random.PRNGKey(0), num_classes=2, blocks=(1, 1, 1, 1, 1))
     return Detector(params, state, cfg, precision="fp32")
 
 

@@ -158,7 +158,7 @@ class TestEndToEndEval:
 
         cfg = YoloConfig(num_classes=3, img_dim=64, pre_nms_topk=64,
                          max_detections=16)
-        params, state = D.init_yolonet(jax.random.PRNGKey(0), 3)
+        params, state = D.init_yolonet(jax.random.PRNGKey(0), 3, blocks=(1, 1, 1, 1, 1))
         det = Detector(params, state, cfg, precision="fp32")
         mAP = evaluate_detector(det, str(coco_dir / "val.txt"), ["a", "b", "c"],
                                 str(tmp_path), batch_size=3, dim=64,

@@ -57,7 +57,7 @@ def leaves(tree):
 
 class TestTrainLoop:
     def test_resume_matches_one_go(self, coco_dir, tmp_path):
-        init = D.init_yolonet(jax.random.PRNGKey(0), CFG.num_classes)
+        init = D.init_yolonet(jax.random.PRNGKey(0), CFG.num_classes, blocks=(1, 1, 1, 1, 1))
 
         # one go: 4 net batches
         p_ref, s_ref, _, _ = train(
@@ -115,7 +115,7 @@ class TestTrainLoop:
         dims_seen = {d[0] for d in sampler.dims}
         assert dims_seen <= {64, 96}
 
-        init = D.init_yolonet(jax.random.PRNGKey(0), CFG.num_classes)
+        init = D.init_yolonet(jax.random.PRNGKey(0), CFG.num_classes, blocks=(1, 1, 1, 1, 1))
         p, s, _, rec = train(data, *jax.tree.map(jnp.array, init), CFG, TCFG,
                              log_fn=lambda s: None)
         assert np.isfinite(rec.current_stats["loss"])
@@ -125,7 +125,7 @@ class TestTrainLoop:
         the determinism contract end-to-end (data schedule + augmentation +
         compiled step)."""
         def run():
-            init = D.init_yolonet(jax.random.PRNGKey(0), CFG.num_classes)
+            init = D.init_yolonet(jax.random.PRNGKey(0), CFG.num_classes, blocks=(1, 1, 1, 1, 1))
             p, s, _, _ = train(
                 make_data(coco_dir, 2, seed=11), *jax.tree.map(jnp.array, init),
                 CFG, TCFG, log_fn=lambda s: None,

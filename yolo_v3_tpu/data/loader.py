@@ -27,6 +27,40 @@ import numpy as np
 
 from yolo_v3_tpu.data.sampler import CyclicSampler
 
+# --- multiprocess sample assembly -------------------------------------------
+# The per-sample work (JPEG decode + cv2 HSV/jitter/letterbox) is pure
+# host-CPU and fully determined by (base_idx, dim, seed), so it parallelizes
+# across processes without any determinism loss — the TPU equivalent of the
+# reference's DataLoader worker processes (reference dataset.py:461-465,
+# whose worker_init_fn reseeding exists only because imgaug uses global RNG;
+# here seeds ride in the schedule, so workers need no reseeding at all).
+#
+# Workers are forked (trans_fn closures aren't picklable) and receive the
+# dataset by fork inheritance; they only run numpy/cv2 — never JAX.
+
+_WORKER_DS = None
+_WORKER_DROP: tuple = ()
+
+
+def _pool_init(dataset, drop_keys):
+    global _WORKER_DS, _WORKER_DROP
+    _WORKER_DS = dataset
+    _WORKER_DROP = drop_keys
+    try:
+        import cv2
+
+        cv2.setNumThreads(0)  # one cv2 thread per worker process
+    except ImportError:
+        pass
+
+
+def _pool_get(task):
+    base_idx, dim, seed = task
+    s = _WORKER_DS.get(base_idx, dim, seed)
+    for k in _WORKER_DROP:
+        s.pop(k, None)
+    return s
+
 
 def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
     """Stack same-shaped fields, keep ragged ones as lists, all-None -> None
@@ -59,6 +93,7 @@ class DataHelper:
         drop_keys: tuple = ("rng",),
         host_id: int = 0,
         n_hosts: int = 1,
+        num_workers: int = 0,
     ):
         """``host_id``/``n_hosts`` shard each (deterministically scheduled)
         batch across hosts for multi-host data parallelism: every host runs
@@ -79,6 +114,8 @@ class DataHelper:
         self.net_subdivisions = net_subdivisions
         self.prefetch = prefetch
         self.drop_keys = drop_keys
+        self.num_workers = num_workers
+        self._pool = None
 
         if max_net_batches is not None:
             self.max_net_batches = max_net_batches
@@ -91,14 +128,43 @@ class DataHelper:
 
     # -- iteration ---------------------------------------------------------
 
+    def _get_pool(self):
+        if self._pool is None and self.num_workers > 0:
+            import multiprocessing
+
+            ctx = multiprocessing.get_context("fork")
+            self._pool = ctx.Pool(
+                self.num_workers,
+                initializer=_pool_init,
+                initargs=(self.dataset, tuple(self.drop_keys)),
+            )
+        return self._pool
+
+    def close(self) -> None:
+        """Shut down the worker pool (idempotent)."""
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _assemble(self, positions: List[int]) -> Dict[str, Any]:
-        samples = []
-        for pos in positions:
-            base_idx, dim, seed = self.sampler.schedule(pos)
-            s = self.dataset.get(base_idx, dim, seed)
-            for k in self.drop_keys:
-                s.pop(k, None)
-            samples.append(s)
+        tasks = [self.sampler.schedule(pos) for pos in positions]
+        pool = self._get_pool()
+        if pool is not None:
+            samples = pool.map(_pool_get, tasks, chunksize=1)
+        else:
+            samples = []
+            for base_idx, dim, seed in tasks:
+                s = self.dataset.get(base_idx, dim, seed)
+                for k in self.drop_keys:
+                    s.pop(k, None)
+                samples.append(s)
         return collate(samples)
 
     def _epoch_batches(self) -> Iterator[Dict[str, Any]]:

@@ -102,16 +102,31 @@ class Detector:
     def from_checkpoint(cls, path: str, config: YoloConfig = YoloConfig(), **kw) -> "Detector":
         """Load either a plain {params, state} npz pytree or a composite
         training checkpoint (train/checkpoint.py)."""
-        try:
-            tree, _ = W.load_pytree(path)
-            if "params" in tree and "state" in tree:
-                return cls(tree["params"], tree["state"], config, **kw)
-        except Exception:
-            pass
-        from yolo_v3_tpu.train.checkpoint import load_checkpoint
+        # Dispatch on the npz key layout instead of try/except so a corrupt
+        # file raises its real error: composite training checkpoints carry a
+        # pickled "__meta__" blob and "params/"-prefixed keys; plain pytrees
+        # have bare "params/..." keys with JSON (or no) metadata.
+        npz_path = path if path.endswith(".npz") else path + ".npz"
+        with np.load(npz_path, allow_pickle=False) as z:
+            keys = set(z.files)
+            # composite checkpoints pickle their metadata (first byte 0x80,
+            # the pickle protocol marker); plain pytrees store JSON there
+            meta_is_pickle = (
+                "__meta__" in keys and int(z["__meta__"][0]) == 0x80
+            )
+        if meta_is_pickle and any(k.startswith("params/") for k in keys):
+            from yolo_v3_tpu.train.checkpoint import load_checkpoint
 
-        ckpt = load_checkpoint(path)
-        return cls(ckpt["params"], ckpt["state"], config, **kw)
+            ckpt = load_checkpoint(npz_path)
+            return cls(ckpt["params"], ckpt["state"], config, **kw)
+        tree, _ = W.load_pytree(npz_path)
+        if "params" not in tree or "state" not in tree:
+            raise ValueError(
+                f"{path}: not a recognized checkpoint (expected a composite "
+                "training checkpoint or a {params, state} pytree npz; found "
+                f"top-level keys {sorted(k.split('/')[0] for k in keys)[:8]})"
+            )
+        return cls(tree["params"], tree["state"], config, **kw)
 
     # -- inference --------------------------------------------------------
 

@@ -146,5 +146,15 @@ def evaluate_map(
         gt = json.load(f)
     with open(results_json_path) as f:
         results = json.load(f)
+    if any(a.get("iscrowd") for a in gt.get("annotations", [])):
+        import warnings
+
+        warnings.warn(
+            "Falling back to the in-repo evaluator on a dataset with iscrowd "
+            "annotations: crowd/ignore handling is NOT modeled, so the score "
+            "will deviate from pycocotools. Install pycocotools for parity "
+            "runs.",
+            stacklevel=2,
+        )
     mAP, _ = average_precision_at_iou(gt, results, iou_thr)
     return mAP

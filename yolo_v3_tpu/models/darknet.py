@@ -22,7 +22,7 @@ block becomes conv+bias+leaky — one MXU op and one fused VPU epilogue.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -80,16 +80,20 @@ def _init_bias_conv(key, ks: int, cin: int, cout: int, dtype=jnp.float32):
     }
 
 
-def init_backbone(key, dtype=jnp.float32) -> Tuple[Params, State]:
+def init_backbone(
+    key, dtype=jnp.float32, blocks: Tuple[int, ...] = DARKNET53_BLOCKS
+) -> Tuple[Params, State]:
     """Darknet-53: stem conv + 5 stages of [stride-2 conv, N residual blocks]
-    (reference Darknet/make_res_stack, darknet.py:68-104)."""
+    (reference Darknet/make_res_stack, darknet.py:68-104).  ``blocks``
+    overrides the per-stage residual counts (e.g. (1,1,1,1,1) for a tiny
+    test fixture); stage/channel structure is unchanged."""
     params: Params = {}
     state: State = {}
-    keys = jax.random.split(key, 2 + len(DARKNET53_BLOCKS))
+    keys = jax.random.split(key, 2 + len(blocks))
 
     params["stem"], state["stem"] = _init_cb(keys[0], 3, 3, 32, dtype)
     nin = 32
-    for i, nblk in enumerate(DARKNET53_BLOCKS):
+    for i, nblk in enumerate(blocks):
         skey = jax.random.split(keys[i + 1], 1 + 2 * nblk)
         stage_p: Params = {}
         stage_s: State = {}
@@ -126,7 +130,12 @@ def init_head(key, cin: int, nfilter: int, num_classes: int, dtype=jnp.float32):
     return params, state
 
 
-def init_yolonet(key, num_classes: int = 80, dtype=jnp.float32) -> Tuple[Params, State]:
+def init_yolonet(
+    key,
+    num_classes: int = 80,
+    dtype=jnp.float32,
+    blocks: Tuple[int, ...] = DARKNET53_BLOCKS,
+) -> Tuple[Params, State]:
     """Full 3-scale YOLOv3 (reference YoloNet, darknet.py:167-196).
 
     Head routing: head0 (stride 32) branches after its 5th conv; that branch
@@ -137,7 +146,7 @@ def init_yolonet(key, num_classes: int = 80, dtype=jnp.float32) -> Tuple[Params,
     k = jax.random.split(key, 6)
     params: Params = {}
     state: State = {}
-    params["backbone"], state["backbone"] = init_backbone(k[0], dtype)
+    params["backbone"], state["backbone"] = init_backbone(k[0], dtype, blocks)
     params["head0"], state["head0"] = init_head(k[1], 1024, 512, num_classes, dtype)
     params["up0"], state["up0"] = {}, {}
     params["up0"]["conv"], state["up0"]["conv"] = _init_cb(k[2], 1, 512, 256, dtype)
@@ -205,6 +214,16 @@ def _res_block(p, s, x, training):
     return x + y, {"conv1": s1, "conv2": s2}
 
 
+def _stage_blocks(stage_params: Params) -> int:
+    """Residual-block count of a backbone stage, read off the pytree — so
+    apply functions work for any ``blocks`` override without extra args."""
+    return sum(1 for k in stage_params if k.startswith("res"))
+
+
+def _num_stages(backbone_params: Params) -> int:
+    return sum(1 for k in backbone_params if k.startswith("stage"))
+
+
 def apply_backbone(
     params: Params, state: State, x: jnp.ndarray, training: bool = False
 ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], State]:
@@ -214,11 +233,11 @@ def apply_backbone(
     new_state: State = {}
     y, new_state["stem"] = conv_bn_leaky(params["stem"], state["stem"], x, 1, training)
     routes: List[jnp.ndarray] = []
-    for i, nblk in enumerate(DARKNET53_BLOCKS):
+    for i in range(_num_stages(params)):
         sp, ss = params[f"stage{i}"], state[f"stage{i}"]
         ns: State = {}
         y, ns["down"] = conv_bn_leaky(sp["down"], ss["down"], y, 2, training)
-        for b in range(nblk):
+        for b in range(_stage_blocks(sp)):
             y, ns[f"res{b}"] = _res_block(sp[f"res{b}"], ss[f"res{b}"], y, training)
         new_state[f"stage{i}"] = ns
         if i >= 2:
@@ -337,13 +356,13 @@ def apply_yolonet_folded(params: Params, x: jnp.ndarray):
         y = _conv_bias_leaky(p["stem"], x)
         start_stage = 0
     routes = []
-    for i, nblk in enumerate(DARKNET53_BLOCKS):
+    for i in range(_num_stages(p)):
         if i < start_stage:
             continue
         sp = p[f"stage{i}"]
         if not (use_s2d and i == 1):
             y = _conv_bias_leaky(sp["down"], y, stride=2)
-        for b in range(nblk):
+        for b in range(_stage_blocks(sp)):
             r = _conv_bias_leaky(sp[f"res{b}"]["conv1"], y)
             r = _conv_bias_leaky(sp[f"res{b}"]["conv2"], r)
             y = y + r
@@ -568,17 +587,22 @@ def _apply_s2d_entry(params: Params, x: jnp.ndarray) -> jnp.ndarray:
 # Canonical conv ordering — the contract the darknet weight codec relies on.
 # ---------------------------------------------------------------------------
 
-def conv_layer_paths(num_stages: int = len(DARKNET53_BLOCKS)) -> List[Tuple[str, ...]]:
+def conv_layer_paths(
+    num_stages: Optional[int] = None,
+    blocks: Tuple[int, ...] = DARKNET53_BLOCKS,
+) -> List[Tuple[str, ...]]:
     """Paths of all conv blocks in darknet cfg order.
 
     Mirrors the reference's recursive registration-order walk
     (WeightManager.find_conv_layers, darknet.py:292-303): backbone, head0,
     up0, head1, up1, head2.
     """
+    if num_stages is None:
+        num_stages = len(blocks)
     paths: List[Tuple[str, ...]] = [("backbone", "stem")]
     for i in range(num_stages):
         paths.append(("backbone", f"stage{i}", "down"))
-        for b in range(DARKNET53_BLOCKS[i]):
+        for b in range(blocks[i]):
             paths.append(("backbone", f"stage{i}", f"res{b}", "conv1"))
             paths.append(("backbone", f"stage{i}", f"res{b}", "conv2"))
     for h, up in (("head0", "up0"), ("head1", "up1"), ("head2", None)):

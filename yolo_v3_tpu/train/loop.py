@@ -112,9 +112,11 @@ def train(
                 f"dim {imgs.shape[2]} {recorder.stats_row()}"
             )
 
+            # Checkpoint every checkpoint_interval net-batches; batch+1 is
+            # always S-aligned here (the scan step consumes S mini-batches).
             if weight_dir is not None and (
-                (batch + 1) / S
-            ) % checkpoint_interval == 0:
+                (batch + 1) % (S * checkpoint_interval) == 0
+            ):
                 save_checkpoint(
                     data, params, state, opt_state, recorder, model_id, weight_dir
                 )

@@ -114,6 +114,21 @@ class TrainConfig:
     # compute, fp32 master params/grads/BN stats — ~3x faster on TPU)
     compute_dtype: str = "float32"
 
+    # LR schedule in net-batches: darknet's COCO recipe (which the reference
+    # checkpoint format reserves a scheduler slot for, reference
+    # train.py:211-216) is burn-in then step decay — yolov3.cfg uses
+    # burn_in=1000, power 4, steps (400000, 450000) x scale 0.1.  Defaults
+    # keep the reference's constant-LR behavior.  The schedule position
+    # (update count) lives in the optimizer state, so it rides through
+    # checkpoints and resume keeps the schedule position while the *shape*
+    # of the schedule follows the current config — the same "current
+    # hyperparams win on resume" contract as the reference's load_optimizer
+    # (train.py:104-116).
+    burn_in: int = 0                  # net-batches of (n/burn_in)^power warmup
+    burn_in_power: float = 4.0
+    lr_steps: Tuple[int, ...] = ()     # net-batch boundaries
+    lr_step_scales: Tuple[float, ...] = ()  # multiplier applied at each step
+
 
 def anchors_flat(anchors: Sequence[Tuple[float, float]]) -> Tuple[float, ...]:
     """Flatten [(w, h), ...] into (w0, h0, w1, h1, ...)."""
