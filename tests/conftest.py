@@ -38,3 +38,32 @@ def pytest_sessionstart(session):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def coco_dir(tmp_path_factory):
+    """Synthetic COCO-layout dataset: 10 images + label txts + list file."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("coco")
+    img_dir = root / "images"
+    lbl_dir = root / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    rng = np.random.default_rng(42)
+    paths = []
+    for i in range(10):
+        h, w = int(rng.integers(80, 160)), int(rng.integers(80, 160))
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        p = img_dir / f"img_{i:04d}.jpg"
+        cv2.imwrite(str(p), img)
+        n = int(rng.integers(1, 4))
+        rows = np.zeros((n, 5), np.float32)
+        rows[:, 0] = rng.integers(0, 3, n)
+        rows[:, 1:3] = rng.uniform(0.3, 0.7, (n, 2))
+        rows[:, 3:5] = rng.uniform(0.1, 0.3, (n, 2))
+        np.savetxt(str(lbl_dir / f"img_{i:04d}.txt"), rows, fmt="%.6f")
+        paths.append(str(p))
+    list_file = root / "train.txt"
+    list_file.write_text("\n".join(paths) + "\n")
+    return str(list_file)

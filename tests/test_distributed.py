@@ -1,0 +1,116 @@
+"""Multi-host bootstrap glue: process context, sharded data -> identical
+training, mesh-shape checkpoint contract (SURVEY §2.3)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolo_v3_tpu.data.datasets import ListDataset
+from yolo_v3_tpu.data.loader import DataHelper
+from yolo_v3_tpu.data.sampler import CyclicSampler
+from yolo_v3_tpu.data import transforms as T
+from yolo_v3_tpu.models import darknet as D
+from yolo_v3_tpu.parallel import distributed as dist
+from yolo_v3_tpu.parallel import mesh as M
+from yolo_v3_tpu.train.optimizer import make_optimizer
+from yolo_v3_tpu.train.step import make_train_step
+from yolo_v3_tpu.utils.config import TrainConfig, YoloConfig
+
+CFG = YoloConfig(num_classes=2, img_dim=64)
+
+
+class TestProcessContext:
+    def test_single_process_noop(self):
+        ctx = dist.initialize()
+        assert ctx.process_id == 0
+        assert ctx.num_processes == 1
+        assert not ctx.is_distributed
+
+    def test_make_data_helper_uses_process_shard(self, coco_dir):
+        ds = ListDataset(coco_dir, trans_fn=lambda dim: T.eval_transform(dim))
+        sampler = CyclicSampler(len(ds), 4, seed=0, dim=(64, 64))
+        ctx = dist.ProcessContext(process_id=1, num_processes=2,
+                                  coordinator=None)
+        dh = dist.make_data_helper(ds, sampler, ctx, max_batches=2, prefetch=0)
+        assert dh.host_id == 1 and dh.n_hosts == 2
+        batch = next(iter(dh))
+        assert batch["img"].shape[0] == 2  # half of the global batch of 4
+
+
+class TestMeshCompat:
+    def test_compatible(self):
+        mesh = M.make_mesh(8, space=2)
+        dist.assert_mesh_compatible(mesh, (4, 2))
+        dist.assert_mesh_compatible(mesh, (4, 1))  # space may differ
+        dist.assert_mesh_compatible(mesh, None)
+
+    def test_incompatible_data_axis(self):
+        mesh = M.make_mesh(8, space=2)
+        with pytest.raises(ValueError):
+            dist.assert_mesh_compatible(mesh, (8, 1))
+
+
+class TestShardedTrainingParity:
+    def test_two_host_shards_train_like_one_host(self, coco_dir):
+        """Two simulated hosts' shards, concatenated into the global batch
+        and trained on the DP mesh, produce the same params as the
+        single-host batch trained on one device — the data-sharding
+        determinism contract extended through the train step."""
+        def helper(host_id, n_hosts):
+            ds = ListDataset(coco_dir,
+                             trans_fn=lambda dim: T.eval_transform(dim))
+            sampler = CyclicSampler(len(ds), 8, seed=0, dim=(64, 64))
+            return DataHelper(ds, sampler, max_batches=1, prefetch=0,
+                              host_id=host_id, n_hosts=n_hosts)
+
+        single = next(iter(helper(0, 1)))
+        h0 = next(iter(helper(0, 2)))
+        h1 = next(iter(helper(1, 2)))
+        imgs = np.concatenate([h0["img"], h1["img"]])
+        labels = np.concatenate([h0["label"], h1["label"]])
+        np.testing.assert_array_equal(imgs, single["img"])
+
+        params, state = D.init_yolonet(jax.random.PRNGKey(0), 2,
+                                       blocks=(1, 1, 1, 1, 1))
+        tcfg = TrainConfig(lr=1e-3, backbone_lr=1e-4)
+        tx = make_optimizer(params, tcfg)
+        step = make_train_step(CFG, tx)
+
+        def run(imgs, labels, mesh=None):
+            i = jnp.asarray(imgs[None].astype(np.float32))
+            l = jnp.asarray(labels[None].astype(np.float32))
+            p, s, o = params, state, tx.init(params)
+            if mesh is not None:
+                p = M.replicate(mesh, p)
+                s = M.replicate(mesh, s)
+                o = M.replicate(mesh, o)
+                i, l = M.shard_train_inputs(mesh, i, l)
+            p2, *_ = step(p, s, o, i, l)
+            return p2
+
+        mesh = M.make_mesh(8, space=1)
+        got = run(imgs, labels, mesh)
+        want = run(single["img"], single["label"])
+        # cross-device reductions reorder float ops; bound absolute drift
+        # (same tolerance as TestDataParallel.test_dp_matches_single_device)
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5)
+
+
+class TestCheckpointMeshShape:
+    def test_mesh_shape_roundtrip(self, coco_dir, tmp_path):
+        from yolo_v3_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+        from yolo_v3_tpu.train.recorder import Recorder
+
+        ds = ListDataset(coco_dir, trans_fn=lambda dim: T.eval_transform(dim))
+        sampler = CyclicSampler(len(ds), 4, seed=0, dim=(64, 64))
+        dh = DataHelper(ds, sampler, max_batches=2, prefetch=0)
+        params, state = D.init_yolonet(jax.random.PRNGKey(0), 2,
+                                       blocks=(1, 1, 1, 1, 1))
+        tx = make_optimizer(params, TrainConfig())
+        path = save_checkpoint(dh, params, state, tx.init(params), Recorder(),
+                               "m", str(tmp_path), mesh_shape=(4, 2))
+        ckpt = load_checkpoint(path)
+        assert ckpt["mesh_shape"] == (4, 2)

@@ -1,0 +1,148 @@
+"""int8 serving path vs the bf16/fp32 folded path.
+
+Accuracy gates for models/quantized.py: logits track the float path and the
+score ranking (what drives detection) is preserved.  Calibration runs on the
+same distribution as the test input (static per-tensor scales).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolo_v3_tpu.models import darknet as D
+from yolo_v3_tpu.models import quantized as Q
+
+NUM_CLASSES = 8
+DIM = 96
+
+
+def _realistic_net(key, blocks=(1, 1, 1, 1, 1), x_calib=None):
+    """Random net with BN running stats set to actual batch stats so
+    activations are O(1) at depth (random-init nets are contractive —
+    see tests/test_e2e_oracle.py's oracle_net)."""
+    params, state = D.init_yolonet(key, NUM_CLASSES, blocks=blocks)
+    _, ns = D.apply_yolonet(params, state, x_calib, training=True)
+
+    def fix(old, new):
+        if set(old.keys()) == {"mean", "var"}:
+            mean = (np.asarray(new["mean"]) - 0.9 * np.asarray(old["mean"])) / 0.1
+            var = (np.asarray(new["var"]) - 0.9 * np.asarray(old["var"])) / 0.1
+            return {"mean": jnp.asarray(mean),
+                    "var": jnp.asarray(np.maximum(var, 1e-3))}
+        return {k: fix(old[k], new[k]) for k in old}
+
+    return params, fix(state, ns)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (2, DIM, DIM, 3)).astype(np.float32))
+    params, state = _realistic_net(jax.random.PRNGKey(5), x_calib=x)
+    return params, state, x
+
+
+@pytest.mark.parametrize("s2d", [False, True])
+def test_quantized_matches_float(setup, s2d):
+    """What matters for serving is detection-level agreement, not logit MSE
+    (per-tensor int8 noise accumulates ~1%/layer on this random net — real
+    trained nets quantize better).  Gates: loose logit tracking + strong
+    overlap of the score ranking that drives NMS."""
+    params, state, x = setup
+    folded = D.fold_batchnorm(params, state)
+    if s2d:
+        folded = D.fold_space_to_depth(folded)
+    want = D.apply_yolonet_folded(folded, x)
+
+    q = Q.build_quantized(params, state, x, space_to_depth=s2d)
+    got = jax.jit(lambda x: Q.apply_yolonet_quantized(q, x))(x)
+
+    for g, w in zip(got, want):
+        g = np.asarray(g, np.float32)
+        w = np.asarray(w, np.float32)
+        span = np.abs(w).max()
+        err = np.abs(g - w)
+        assert err.mean() < 0.10 * span, (err.mean(), span)
+
+        # ranking preserved: top-50 objectness candidates overlap strongly
+        attrib = 5 + NUM_CLASSES
+        g_obj = g.reshape(g.shape[0], -1, attrib)[..., 4]
+        w_obj = w.reshape(w.shape[0], -1, attrib)[..., 4]
+        for b in range(g_obj.shape[0]):
+            k = min(50, g_obj.shape[1])
+            top_g = set(np.argsort(-g_obj[b])[:k].tolist())
+            top_w = set(np.argsort(-w_obj[b])[:k].tolist())
+            assert len(top_g & top_w) >= int(0.7 * k), len(top_g & top_w)
+
+
+def test_quantized_detection_parity(setup):
+    """End-detection agreement between int8 and fp32 paths through the full
+    postprocess: the top detections match in class and position."""
+    from yolo_v3_tpu.ops.postprocess import postprocess_from_raws
+    from yolo_v3_tpu.utils.config import YoloConfig
+
+    params, state, x = setup
+    cfg = YoloConfig(num_classes=NUM_CLASSES, img_dim=DIM)
+    folded = D.fold_batchnorm(params, state)
+    want_raws = D.apply_yolonet_folded(folded, x)
+    q = Q.build_quantized(params, state, x, space_to_depth=False)
+    got_raws = jax.jit(lambda x: Q.apply_yolonet_quantized(q, x))(x)
+
+    def dets(raws):
+        # conf_thr 0: rank everything, take the top rows per image
+        out = postprocess_from_raws(raws, cfg, DIM, conf_thr=0.0,
+                                    nms_thr=0.45)
+        return np.asarray(out)
+
+    def iou(r, rows):
+        ix1 = np.maximum(r[0], rows[:, 0]); iy1 = np.maximum(r[1], rows[:, 1])
+        ix2 = np.minimum(r[2], rows[:, 2]); iy2 = np.minimum(r[3], rows[:, 3])
+        inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+        ua = ((r[2] - r[0]) * (r[3] - r[1])
+              + (rows[:, 2] - rows[:, 0]) * (rows[:, 3] - rows[:, 1]) - inter)
+        return inter / (ua + 1e-9)
+
+    # A random net's scores are nearly flat (0.48-0.58), so post-NMS
+    # rankings legitimately reshuffle under int8 noise; the stable, testable
+    # property is that each path's TOP detection appears (same class,
+    # IoU>0.5) among the other's confident detections.  Full detection-level
+    # parity is gated on real weights (tests/test_e2e_oracle.py golden
+    # gates) where scores have real spread.
+    a, b = dets(got_raws), dets(want_raws)
+    for bi in range(a.shape[0]):
+        row = a[bi][0]
+        same = b[bi][:20][b[bi][:20, 6] == row[6]]
+        assert len(same) and (iou(row[:4], same[:, :4]) > 0.5).any(), (
+            row, b[bi][:5]
+        )
+
+
+def test_quantized_tree_is_int8(setup):
+    params, state, x = setup
+    q = Q.build_quantized(params, state, x, space_to_depth=False)
+    n_int8 = 0
+
+    def walk(t):
+        nonlocal n_int8
+        if isinstance(t, dict):
+            if "w" in t and hasattr(t["w"], "dtype"):
+                assert t["w"].dtype == jnp.int8
+                n_int8 += 1
+            for k, v in t.items():
+                if k != "w":
+                    walk(v)
+
+    walk(q)
+    # all convs quantized: tiny net = 16 backbone + 21 head + 2 up convs
+    assert n_int8 == len(D.conv_layer_paths(blocks=(1, 1, 1, 1, 1)))
+
+
+def test_requant_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-127, 128, (4, 4), dtype=np.int8))
+    # requant to a 2x larger scale halves the magnitudes
+    y = Q._requant(x, 0.5, 1.0)
+    np.testing.assert_array_equal(np.asarray(y),
+                                  np.clip(np.round(np.asarray(x) * 0.5),
+                                          -127, 127).astype(np.int8))

@@ -40,16 +40,21 @@ def detect_fn(
     use_nms: bool = True,
     is_letterbox: bool = True,
     compute_dtype=jnp.bfloat16,
+    apply_fn=None,
 ) -> jnp.ndarray:
     """Jittable device pipeline on BN-folded params.
 
     ``x``: [B, H, W, 3] float (already letterboxed/resized to net input),
     ``org_dims``: [B, 2] (org_w, org_h) for mapping boxes back.
     Returns [B, M, 8]: x, y, w, h (original-image pixels), obj, prob, cls,
-    valid.
+    valid.  ``apply_fn(params, x) -> raws`` overrides the forward (e.g. the
+    int8 path); the default is the BN-folded float forward.
     """
     img_dim = x.shape[1]
-    raws = D.apply_yolonet_folded(params, x.astype(compute_dtype))
+    if apply_fn is None:
+        raws = D.apply_yolonet_folded(params, x.astype(compute_dtype))
+    else:
+        raws = apply_fn(params, x.astype(compute_dtype))
     res = postprocess_from_raws(
         raws, config, img_dim,
         conf_thr=conf_thr, nms_thr=nms_thr,
@@ -68,7 +73,11 @@ def detect_fn(
 class Detector:
     """Stateful convenience wrapper: holds folded params and a jit cache.
 
-    ``precision``: "bf16" (default, MXU speed) or "fp32".
+    ``precision``: "bf16" (default), "fp32", or "int8" (post-training
+    quantized serving path — XLA int8 convolutions run ~1.5-2x the bf16
+    rate on TPU v5e; see models/quantized.py).  int8 calibrates activation
+    scales on ``calib_images`` (HWC uint8) when given, else on a synthetic
+    uniform batch (fine for smoke/bench; pass real images for accuracy).
     """
 
     def __init__(
@@ -79,13 +88,31 @@ class Detector:
         precision: str = "bf16",
         letterbox: bool = True,
         resize_on_device: bool = True,
+        calib_images=None,
     ):
         self.config = config
         self.letterbox = letterbox
         self.resize_on_device = resize_on_device
-        self.compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-        folded = D.fold_space_to_depth(D.fold_batchnorm(params, state))
-        self.params = D.cast_params(folded, self.compute_dtype)
+        self.precision = precision
+        self.compute_dtype = jnp.bfloat16 if precision != "fp32" else jnp.float32
+        self._apply_fn = None
+        if precision == "int8":
+            from yolo_v3_tpu.models import quantized as Q
+
+            if calib_images is not None:
+                calib, _ = self.preprocess(calib_images)
+            else:
+                rng = np.random.default_rng(0)
+                calib = jnp.asarray(
+                    rng.uniform(0, 1, (8, config.img_dim, config.img_dim, 3))
+                    .astype(np.float32)
+                )
+            self.params = Q.build_quantized(params, state, calib)
+            self._apply_fn = Q.apply_yolonet_quantized
+            self.compute_dtype = jnp.float32  # image quantized inside
+        else:
+            folded = D.fold_space_to_depth(D.fold_batchnorm(params, state))
+            self.params = D.cast_params(folded, self.compute_dtype)
         self._jitted = {}
 
     # -- constructors -----------------------------------------------------
@@ -143,6 +170,7 @@ class Detector:
                     use_nms=use_nms,
                     is_letterbox=self.letterbox,
                     compute_dtype=self.compute_dtype,
+                    apply_fn=self._apply_fn,
                 )
             )
         return self._jitted[key]

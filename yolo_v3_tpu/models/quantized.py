@@ -1,0 +1,364 @@
+"""int8 serving path: calibration, quantization, and quantized forward.
+
+Measured on this chip (scratch/measure_lib differencing, bs64): XLA int8
+convolutions sustain ~190-307 TOP/s at YOLOv3's residual-block shapes —
+1.5-2x the bf16 conv rates (97-200 TF/s) — once per-dispatch tunnel noise is
+cancelled.  (Round 1 concluded the opposite from dispatch-polluted timings;
+see CLAUDE.md "TIMING METHODOLOGY".)  So the int8 path is built directly on
+``lax.conv_general_dilated`` with int32 accumulation; XLA fuses the
+dequant+bias+leaky+requant epilogues and the residual adds.
+
+Scheme (standard post-training quantization, reference capability is the
+fp32 net of reference darknet.py:167-231 — this is a TPU serving variant):
+
+* weights: per-output-channel symmetric int8 (exact absmax scaling),
+* activations: per-tensor static scales from a calibration pass (absmax of
+  every conv's *output* tensor, recorded post-residual-add for res blocks),
+* every interior conv consumes and produces int8; the epilogue does
+  ``q_out = clip(round(leaky(acc * m + b)))`` with the requant folded into
+  ``m = s_in * s_w / s_out`` and ``b = bias / s_out`` (leaky(0.1) is
+  positively homogeneous, so folding through it is exact),
+* residual adds happen in the fp32 epilogue domain: ``+ q_res * s_res/s_out``
+  before rounding,
+* route concats requantize both branches to a common scale,
+* the three detection convs keep fp32 epilogues and bf16 outputs (logits
+  feed decode; last-layer quantization error would hit box geometry
+  directly).
+
+Typical accuracy: detections match the bf16 path on dense scenes (see
+tests/test_quantized_net.py); mAP parity is gated with the oracle tests.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from yolo_v3_tpu.models import darknet as D
+
+_DN = ("NHWC", "HWIO", "NHWC")
+LEAKY = D.LEAKY_SLOPE
+
+
+# ---------------------------------------------------------------------------
+# Calibration: absmax of every conv output (and the input image), keyed by
+# the producing conv's path "backbone/stage2/res3/conv2" (post residual-add
+# for res-block conv2s, i.e. the tensor as consumed downstream).
+# ---------------------------------------------------------------------------
+
+# Calibration quantile: 99.97% of activation mass inside the int8 range.
+# Pure absmax wastes the 8-bit budget on a handful of outliers (activation
+# absmax/mean ~ 10 here), costing ~2x the accumulated error; the epilogues
+# clip, so saturating the tail is safe.
+CALIB_Q = 0.9997
+
+
+def _amax(x) -> jnp.ndarray:
+    a = jnp.abs(x.astype(jnp.float32)).ravel()
+    # quantile = sort: strided-subsample big tensors to <=2M elements (the
+    # tail estimate is statistical anyway; full sorts of 300M-element
+    # activations dominate calibration time otherwise)
+    stride = max(a.shape[0] // (2 << 20), 1)
+    if stride > 1:
+        a = a[::stride]
+    return jnp.quantile(a, CALIB_Q)
+
+
+def calibrate_yolonet(folded: Dict, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Run the folded fp network on a calibration batch, recording per-tensor
+    absmax.  Returns {path: absmax} (device scalars; np-ify to store)."""
+    stats: Dict[str, jnp.ndarray] = {"image": _amax(x)}
+    p = folded["backbone"]
+    use_s2d = "s2d" in folded
+
+    def cb(pp, path, x, stride=1, leaky=True):
+        y = D._conv_bias_leaky(pp, x, stride=stride, leaky=leaky)
+        stats[path] = _amax(y)
+        return y
+
+    if use_s2d:
+        sp = folded["s2d"]
+        xp = jnp.pad(x, ((0, 0), (1, 3), (1, 3), (0, 0)))
+        xb = D._space_to_depth2(xp)
+        stats["s2d/input"] = stats["image"]
+        y = D._conv_s2d(sp["stem"], xb)
+        stats["s2d/stem"] = _amax(y)
+        y = D._conv_s2d(sp["down0"], y, stride=2, padding=((1, 1), (1, 1)))
+        stats["s2d/down0"] = _amax(y)
+        r = D._conv_s2d(sp["res0_1"], y)
+        stats["s2d/res0_1"] = _amax(r)
+        r = D._conv_s2d(sp["res0_2"], r, padding=((1, 1), (1, 1)))
+        y = y + r
+        stats["s2d/res0_2"] = _amax(y)       # post-add, as consumed
+        y = D._conv_s2d(sp["down1"], y, padding=((1, 0), (1, 0)))
+        stats["s2d/down1"] = _amax(y)
+        start_stage = 1
+    else:
+        y = cb(p["stem"], "backbone/stem", x)
+        start_stage = 0
+
+    routes = []
+    for i in range(D._num_stages(p)):
+        if i < start_stage:
+            continue
+        spp = p[f"stage{i}"]
+        if not (use_s2d and i == 1):
+            y = cb(spp["down"], f"backbone/stage{i}/down", y, stride=2)
+        for b in range(D._stage_blocks(spp)):
+            r = cb(spp[f"res{b}"]["conv1"], f"backbone/stage{i}/res{b}/conv1", y)
+            r = D._conv_bias_leaky(spp[f"res{b}"]["conv2"], r)
+            y = y + r
+            stats[f"backbone/stage{i}/res{b}/conv2"] = _amax(y)  # post-add
+        if i >= 2:
+            routes.append(y)
+    c3, c4, c5 = routes
+
+    def head(hname, x):
+        hp = folded[hname]
+        y = x
+        for i in range(6):
+            y = cb(hp[f"conv{i}"], f"{hname}/conv{i}", y)
+            if i == 4:
+                branch = y
+        det = D._conv_bias_leaky(hp["det"], y, leaky=False)
+        return det, branch
+
+    _, br0 = head("head0", c5)
+    y = cb(folded["up0"]["conv"], "up0/conv", br0)
+    y = jnp.concatenate([D.upsample2x_nearest(y), c4], axis=-1)
+    stats["concat1"] = _amax(y)
+    _, br1 = head("head1", y)
+    y = cb(folded["up1"]["conv"], "up1/conv", br1)
+    y = jnp.concatenate([D.upsample2x_nearest(y), c3], axis=-1)
+    stats["concat2"] = _amax(y)
+    head("head2", y)
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# Quantization
+# ---------------------------------------------------------------------------
+
+def _scale_of(stats, key) -> float:
+    return float(max(np.asarray(stats[key], np.float32) / 127.0, 1e-8))
+
+
+def _quant_w(w) -> Tuple[jnp.ndarray, np.ndarray]:
+    w = np.asarray(w, np.float32)
+    absmax = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)))
+    s = np.maximum(absmax / 127.0, 1e-12)
+    q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    return jnp.asarray(q), s.astype(np.float32)
+
+
+def _qconv(p, s_in: float, s_out, leaky_unused=None) -> Dict:
+    """Folded float conv {w, b} -> quantized {w int8, m f32[N], b f32[N]}.
+
+    ``s_out=None`` keeps a float output: m = s_in*s_w, b = bias.
+    """
+    wq, sw = _quant_w(p["w"])
+    b = np.asarray(p["b"], np.float32)
+    if s_out is None:
+        return {"w": wq, "m": jnp.asarray(s_in * sw), "b": jnp.asarray(b)}
+    return {
+        "w": wq,
+        "m": jnp.asarray(s_in * sw / s_out),
+        "b": jnp.asarray(b / s_out),
+    }
+
+
+def quantize_yolonet(folded: Dict, stats: Dict[str, np.ndarray]) -> Dict:
+    """Build the int8 serving tree from BN-folded float params + calibration
+    stats.  The tree carries per-conv int8 weights/multipliers and the
+    per-tensor activation scales the apply function needs."""
+    q: Dict = {"scales": {}}
+    sc = q["scales"]
+    p = folded["backbone"]
+    use_s2d = "s2d" in folded
+    for k in stats:
+        sc[k] = _scale_of(stats, k)
+    sc["image"] = _scale_of(stats, "image")
+
+    qb: Dict = {}
+    if use_s2d:
+        sp = folded["s2d"]
+        qs: Dict = {}
+        qs["stem"] = _qconv(sp["stem"], sc["image"], sc["s2d/stem"])
+        qs["down0"] = _qconv(sp["down0"], sc["s2d/stem"], sc["s2d/down0"])
+        qs["res0_1"] = _qconv(sp["res0_1"], sc["s2d/down0"], sc["s2d/res0_1"])
+        qs["res0_2"] = _qconv(sp["res0_2"], sc["s2d/res0_1"], sc["s2d/res0_2"])
+        qs["down1"] = _qconv(sp["down1"], sc["s2d/res0_2"], sc["s2d/down1"])
+        q["s2d"] = qs
+        prev = "s2d/down1"
+        start_stage = 1
+    else:
+        qb["stem"] = _qconv(p["stem"], sc["image"], sc["backbone/stem"])
+        prev = "backbone/stem"
+        start_stage = 0
+
+    route_keys = []
+    for i in range(D._num_stages(p)):
+        if i < start_stage:
+            continue
+        spp = p[f"stage{i}"]
+        qst: Dict = {}
+        if not (use_s2d and i == 1):
+            key = f"backbone/stage{i}/down"
+            qst["down"] = _qconv(spp["down"], sc[prev], sc[key])
+            prev = key
+        for b in range(D._stage_blocks(spp)):
+            k1 = f"backbone/stage{i}/res{b}/conv1"
+            k2 = f"backbone/stage{i}/res{b}/conv2"
+            qst[f"res{b}"] = {
+                "conv1": _qconv(spp[f"res{b}"]["conv1"], sc[prev], sc[k1]),
+                "conv2": _qconv(spp[f"res{b}"]["conv2"], sc[k1], sc[k2]),
+                # identity branch rescale into conv2's output domain
+                "res_scale": sc[prev] / sc[k2],
+            }
+            prev = k2
+        qb[f"stage{i}"] = qst
+        if i >= 2:
+            route_keys.append(prev)
+    q["backbone"] = qb
+    q["route_keys"] = tuple(route_keys)
+
+    def qhead(hname, in_key):
+        hp = folded[hname]
+        out: Dict = {}
+        prev = in_key
+        for i in range(6):
+            key = f"{hname}/conv{i}"
+            out[f"conv{i}"] = _qconv(hp[f"conv{i}"], sc[prev], sc[key])
+            prev = key
+        out["det"] = _qconv(hp["det"], sc[prev], None)   # float logits out
+        return out
+
+    k3, k4, k5 = route_keys
+    q["head0"] = qhead("head0", k5)
+    q["up0"] = {"conv": _qconv(folded["up0"]["conv"], sc["head0/conv4"],
+                               sc["up0/conv"])}
+    q["head1"] = qhead("head1", "concat1")
+    q["up1"] = {"conv": _qconv(folded["up1"]["conv"], sc["head1/conv4"],
+                               sc["up1/conv"])}
+    q["head2"] = qhead("head2", "concat2")
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Quantized apply
+# ---------------------------------------------------------------------------
+
+def _conv_i8(qp, x_q, stride=1, padding=None, leaky=True,
+             residual=None, res_scale=None, out_float=False):
+    """int8 conv + fp32 epilogue.  Returns int8 (requantized) or bf16."""
+    ks = qp["w"].shape[0]
+    if padding is None:
+        pad = (ks - 1) // 2
+        padding = ((pad, pad), (pad, pad))
+    acc = lax.conv_general_dilated(
+        x_q, qp["w"], (stride, stride), padding,
+        dimension_numbers=_DN, preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * qp["m"] + qp["b"]
+    if leaky:
+        y = jnp.where(y > 0, y, LEAKY * y)
+    if residual is not None:
+        y = y + residual.astype(jnp.float32) * res_scale
+    if out_float:
+        return y.astype(jnp.bfloat16)
+    return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
+def _requant(x_q: jnp.ndarray, s_from: float, s_to: float) -> jnp.ndarray:
+    return jnp.clip(jnp.round(x_q.astype(jnp.float32) * (s_from / s_to)),
+                    -127, 127).astype(jnp.int8)
+
+
+def quantize_image(x: jnp.ndarray, s_image: float) -> jnp.ndarray:
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / s_image),
+                    -127, 127).astype(jnp.int8)
+
+
+def apply_yolonet_quantized(q: Dict, x: jnp.ndarray):
+    """int8 forward: float image in, 3 bf16 raw head outputs (same contract
+    as :func:`darknet.apply_yolonet_folded`)."""
+    sc = q["scales"]
+    x_q = quantize_image(x, sc["image"])
+    use_s2d = "s2d" in q
+
+    if use_s2d:
+        sp = q["s2d"]
+        xp = jnp.pad(x_q, ((0, 0), (1, 3), (1, 3), (0, 0)))
+        xb = D._space_to_depth2(xp)
+        y = _conv_i8(sp["stem"], xb, padding=((0, 0), (0, 0)))
+        y = _conv_i8(sp["down0"], y, stride=2, padding=((1, 1), (1, 1)))
+        r = _conv_i8(sp["res0_1"], y, padding=((0, 0), (0, 0)))
+        # the s2d res add: y and r are in different int8 domains; do the add
+        # in conv's fp epilogue via residual
+        r = _conv_i8(sp["res0_2"], r, padding=((1, 1), (1, 1)),
+                     residual=y,
+                     res_scale=sc["s2d/down0"] / sc["s2d/res0_2"])
+        y = _conv_i8(sp["down1"], r, padding=((1, 0), (1, 0)))
+        start_stage = 1
+    else:
+        y = _conv_i8(q["backbone"]["stem"], x_q)
+        start_stage = 0
+
+    routes = []
+    qb = q["backbone"]
+    n_stages = sum(1 for k in qb if k.startswith("stage"))
+    first = min(int(k[5:]) for k in qb if k.startswith("stage"))
+    for i in range(first, first + n_stages):
+        qst = qb[f"stage{i}"]
+        if "down" in qst:
+            y = _conv_i8(qst["down"], y, stride=2)
+        b = 0
+        while f"res{b}" in qst:
+            rb = qst[f"res{b}"]
+            r = _conv_i8(rb["conv1"], y)
+            y = _conv_i8(rb["conv2"], r, residual=y, res_scale=rb["res_scale"])
+            b += 1
+        if i >= 2:
+            routes.append(y)
+    c3, c4, c5 = routes
+    k3, k4, k5 = q["route_keys"]
+
+    def head(hq, x_q):
+        y = x_q
+        for i in range(6):
+            y = _conv_i8(hq[f"conv{i}"], y)
+            if i == 4:
+                branch = y
+        det = _conv_i8(hq["det"], y, leaky=False, out_float=True)
+        return det, branch
+
+    sc_ = q["scales"]
+    det0, br0 = head(q["head0"], c5)
+    y = _conv_i8(q["up0"]["conv"], br0)
+    y = jnp.concatenate([
+        _requant(D.upsample2x_nearest(y), sc_["up0/conv"], sc_["concat1"]),
+        _requant(c4, sc_[k4], sc_["concat1"]),
+    ], axis=-1)
+    det1, br1 = head(q["head1"], y)
+    y = _conv_i8(q["up1"]["conv"], br1)
+    y = jnp.concatenate([
+        _requant(D.upsample2x_nearest(y), sc_["up1/conv"], sc_["concat2"]),
+        _requant(c3, sc_[k3], sc_["concat2"]),
+    ], axis=-1)
+    det2, _ = head(q["head2"], y)
+    return det0, det1, det2
+
+
+def build_quantized(params, state, calib_x: jnp.ndarray,
+                    space_to_depth: bool = True) -> Dict:
+    """fold BN (+ s2d remap) -> calibrate -> quantize, in one call."""
+    folded = D.fold_batchnorm(params, state)
+    if space_to_depth:
+        folded = D.fold_space_to_depth(folded)
+    stats = jax.jit(lambda x: calibrate_yolonet(folded, x))(calib_x)
+    stats = {k: np.asarray(v) for k, v in stats.items()}
+    return quantize_yolonet(folded, stats)

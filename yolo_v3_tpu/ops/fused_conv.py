@@ -187,8 +187,9 @@ def conv1x1_p2d(
 # ---------------------------------------------------------------------------
 
 def _conv3x3_kernel(x_hbm, w_ref, s_ref, b_ref, *rest,
-                    tile_m: int, halo: int, hp: int, wp: int, n_m: int,
-                    leaky: bool, res_scale: float, out_dtype, acc_dtype):
+                    tile_m: int, halo: int, win_rows: int, hp: int, wp: int,
+                    n_m: int, leaky: bool, res_scale: float, out_dtype,
+                    acc_dtype):
     if len(rest) == 5:
         r_ref, o_ref, win, acc_ref, sem = rest
     else:
@@ -197,7 +198,6 @@ def _conv3x3_kernel(x_hbm, w_ref, s_ref, b_ref, *rest,
     m = pl.program_id(0)
     nj = pl.num_programs(1)
     j = pl.program_id(1)
-    win_rows = tile_m + 2 * halo
 
     def start(slot, mi):
         return pltpu.make_async_copy(
@@ -258,12 +258,18 @@ def conv3x3_p2d(
     acc_dtype = jnp.int32 if x2d.dtype == jnp.int8 else jnp.float32
     n_m = r // tile_m
 
-    # halo: taps reach +-(wp+1) rows; pad globally so windows stay in-bounds
+    # halo: taps reach +-(wp+1) rows; pad globally so windows stay in-bounds.
+    # Mosaic requires DMA slice shapes (and offsets) aligned to the sublane
+    # tiling, so the window is rounded up to 32 rows and the source padded
+    # to cover the last window.
     halo = wp + 1
-    xh = jnp.pad(x2d, ((halo, halo), (0, 0)))
+    win_rows = _round_up(tile_m + 2 * halo, 32)
+    bot_pad = (n_m - 1) * tile_m + win_rows - (r + halo)
+    xh = jnp.pad(x2d, ((halo, max(bot_pad, 0)), (0, 0)))
 
     kernel = functools.partial(
-        _conv3x3_kernel, tile_m=tile_m, halo=halo, hp=hp, wp=wp, n_m=n_m,
+        _conv3x3_kernel, tile_m=tile_m, halo=halo, win_rows=win_rows,
+        hp=hp, wp=wp, n_m=n_m,
         leaky=leaky, res_scale=res_scale, out_dtype=out_dtype,
         acc_dtype=acc_dtype,
     )
@@ -289,7 +295,7 @@ def conv3x3_p2d(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, n), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_m + 2 * halo, c), x2d.dtype),
+            pltpu.VMEM((2, win_rows, c), x2d.dtype),
             pltpu.VMEM((tile_m, tile_n), acc_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -357,19 +363,20 @@ def p2d_geometry(b: int, h: int, w: int) -> Tuple[int, int, int]:
 
 
 def pick_tile_m(r: int, target: int = 1024) -> int:
-    """Largest divisor of R that is <= target, preferring multiples of 8
-    (the fp32 sublane tile).  Falls back to the largest plain divisor, then
-    to R itself (single tile)."""
-    best = None
-    for t in range(8, target + 1, 8):
-        if r % t == 0:
-            best = t
-    if best is None:
-        for t in range(min(target, r), 0, -1):
+    """Largest divisor of R that is <= target, preferring multiples of 32
+    (the int8 sublane tile — DMA offsets must be tiling-aligned), then 8,
+    then any divisor, then R itself (single tile)."""
+    for step in (32, 8):
+        best = None
+        for t in range(step, target + 1, step):
             if r % t == 0:
                 best = t
-                break
-    return best or r
+        if best is not None:
+            return best
+    for t in range(min(target, r), 0, -1):
+        if r % t == 0:
+            return t
+    return r
 
 
 __all__ = [

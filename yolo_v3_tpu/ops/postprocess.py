@@ -290,7 +290,8 @@ def postprocess_from_raws(
         shapes, config.anchor_masks, config.anchors, img_dim
     )
 
-    k = min(config.pre_nms_topk, n_total)
+    pre_k = config.eval_pre_nms_topk if is_eval else config.pre_nms_topk
+    k = min(pre_k, n_total * (C if is_eval else 1))
     m = config.max_detections
     if approx_topk is None:
         approx_topk = bool(is_eval and config.eval_approx_topk)

@@ -36,6 +36,7 @@ def save_checkpoint(
     recorder,
     model_id: str,
     weight_dir: str,
+    mesh_shape=None,
 ) -> str:
     model_dir = osp.join(weight_dir, model_id)
     os.makedirs(model_dir, exist_ok=True)
@@ -54,6 +55,10 @@ def save_checkpoint(
         "recorder": recorder.state_dict() if recorder is not None else None,
         # optax state pytree (namedtuples of arrays): host-ify then pickle
         "opt_state": jax.tree.map(np.asarray, opt_state),
+        # mesh topology of the writing run (SURVEY §2.3 resume contract);
+        # resume asserts data-axis compatibility via
+        # parallel.distributed.assert_mesh_compatible
+        "mesh_shape": tuple(mesh_shape) if mesh_shape is not None else None,
     }
     flat["__meta__"] = np.frombuffer(pickle.dumps(meta), dtype=np.uint8)
     np.savez(path, **flat)
@@ -76,6 +81,7 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         "opt_state": meta["opt_state"],
         "data": meta["data"],
         "recorder": meta["recorder"],
+        "mesh_shape": meta.get("mesh_shape"),
     }
 
 

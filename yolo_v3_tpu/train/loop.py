@@ -61,6 +61,10 @@ def train(
         opt_state = jax.tree.map(jnp.asarray, checkpoint["opt_state"])
         if checkpoint["recorder"] is not None:
             recorder.load_state_dict(checkpoint["recorder"])
+        if mesh is not None and checkpoint.get("mesh_shape") is not None:
+            from yolo_v3_tpu.parallel.distributed import assert_mesh_compatible
+
+            assert_mesh_compatible(mesh, checkpoint["mesh_shape"])
 
     if mesh is not None:
         from yolo_v3_tpu.parallel import mesh as M
@@ -118,7 +122,10 @@ def train(
                 (batch + 1) % (S * checkpoint_interval) == 0
             ):
                 save_checkpoint(
-                    data, params, state, opt_state, recorder, model_id, weight_dir
+                    data, params, state, opt_state, recorder, model_id,
+                    weight_dir,
+                    mesh_shape=(mesh.devices.shape if mesh is not None
+                                else None),
                 )
 
         if data.is_end_of_epoch():

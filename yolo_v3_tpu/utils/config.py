@@ -58,14 +58,21 @@ class YoloConfig:
     eval_nms_thr: float = 0.45
 
     # Fixed-shape postprocess capacities (TPU: no data-dependent shapes).
-    # pre_nms_topk bounds candidates entering NMS; max_detections bounds the
-    # emitted per-image results (COCOeval only scores maxDets=100 anyway).
+    # pre_nms_topk bounds candidates entering NMS in display mode;
+    # max_detections bounds the emitted per-image results (COCOeval only
+    # scores maxDets=100 anyway).
     pre_nms_topk: int = 512
     max_detections: int = 128
-    # eval mode ranks N*C = ~850k (box, class) pairs per image; exact top-k
-    # costs ~86 ms/batch64 on TPU vs ~7 ms for approx_max_k(recall 0.99),
-    # with negligible mAP impact. Display mode always uses exact top-k.
-    eval_approx_topk: bool = True
+    # Eval mode keeps every (box, class) pair above 0.005 in the reference
+    # (utils.py:236-238) — routinely thousands per image on real weights —
+    # so the eval-mode candidate bound is separate and large so mAP-parity
+    # runs are truncation-free (tests/test_eval_truncation.py quantifies
+    # the 512-vs-4096 delta on dense score distributions).
+    eval_pre_nms_topk: int = 4096
+    # approx_max_k (recall 0.99) is ~12x faster than exact top-k over the
+    # ~850k eval candidates but is an approximation: parity runs default to
+    # reference-exact; flip on for serving-style bulk eval.
+    eval_approx_topk: bool = False
 
     @property
     def num_scales(self) -> int:
