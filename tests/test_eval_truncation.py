@@ -39,6 +39,17 @@ def dense_scene():
     det[:, 4] = rng.beta(1.2, 6.0, N)                  # objectness
     cls = rng.dirichlet(np.full(C, 0.4), N).astype(np.float32)
     det[:, 5:] = cls
+
+    # scale objectness so the candidate count lands in (512, 4096): dense
+    # enough to prove the 512 bound truncates, within the 4096 eval bound
+    lo, hi = 1e-4, 1.0
+    for _ in range(50):
+        mid = (lo + hi) / 2
+        if ((cls * det[:, 4:5] * mid) > CONF).sum() > 2800:
+            hi = mid
+        else:
+            lo = mid
+    det[:, 4] *= hi
     n_cand = int(((det[:, 5:] * det[:, 4:5]) > CONF).sum())
     assert 1500 <= n_cand <= 4096, n_cand
     return det, n_cand
@@ -98,16 +109,29 @@ class TestEvalTruncation:
         np.testing.assert_array_equal(got[:, 6], want[:, 6])
 
     def test_512_truncates_dense_scenes(self, dense_scene):
-        """Documents WHY 512 was unsafe for eval: with >512 candidates the
-        lowest-scoring survivors differ from the unbounded oracle."""
-        det, n_cand = dense_scene
-        assert n_cand > 512
-        got = device_eval(det, 512)
+        """Documents WHY 512 was unsafe for eval: an adversarial-but-
+        realistic scene — one tight cluster of many high-score duplicates
+        (NMS melts it to one box) over diverse lower-score boxes — fills
+        the 512-candidate budget with the duplicates, losing detections the
+        unbounded oracle keeps.  At 4096 the same scene matches the oracle."""
+        det, _ = dense_scene
+        det = det.copy()
+        # 600 near-identical top-score boxes of one class at one spot
+        spam = np.zeros((600, 5 + C), np.float32)
+        rng = np.random.default_rng(9)
+        spam[:, 0:2] = 200.0 + rng.normal(0, 0.5, (600, 2))
+        spam[:, 2:4] = 50.0
+        spam[:, 4] = 0.99
+        spam[:, 5] = 0.99  # class 0
+        det = np.concatenate([det[:-600], spam])
+
         want = numpy_eval_oracle(det)
-        # truncation drops low-score candidates that the oracle keeps
-        assert len(got) < len(want) or not np.allclose(
-            got[:, 5], want[:len(got), 5]
-        )
+        got512 = device_eval(det, 512)
+        got4096 = device_eval(det, 4096)
+        assert len(got4096) == len(want)
+        # the 512 budget is mostly spam duplicates -> diverse low-score
+        # detections the oracle keeps are gone
+        assert len(got512) < len(want), (len(got512), len(want))
 
     def test_default_config_is_truncation_free_here(self, dense_scene):
         det, n_cand = dense_scene
