@@ -22,6 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from yolo_v3_tpu.utils.profiling import enable_compilation_cache
+
+enable_compilation_cache()
+
 BASELINE_IMGS_PER_SEC = 5000.0
 _T0 = time.time()
 
@@ -115,40 +119,54 @@ def main():
                                        for r in Q.apply_yolonet_quantized(qtree, x)])
             ms_fq = timeit(fwd_q, xs_f32)
             results["bs64_forward_ms_int8"] = round(ms_fq, 2)
-            # decode + NMS cost of the fused postprocess path
+            # decode + NMS cost of the fused postprocess path, with p50/p90
+            # across repeated measurements (batch-level percentiles; per-call
+            # latencies are unobservable through the tunnel's dispatch noise)
+            deltas = sorted(
+                max(timeit(full_q, xs_f32, iters=10) - ms_fq, 0.0)
+                for _ in range(5)
+            )
             results["nms_ms_batch64"] = round(max(ms_q - ms_fq, 0.0), 3)
+            results["nms_ms_batch64_p50"] = round(deltas[2], 3)
+            results["nms_ms_batch64_p90"] = round(deltas[-1], 3)
             results["nms_ms_per_image"] = round(max(ms_q - ms_fq, 0.0) / batch, 4)
 
-    # optional: training-step throughput (BENCH_TRAIN=1; adds a long compile)
+    # training-step throughput (bf16 mixed precision, the measured default;
+    # multi-scale dims per the 320-608 sweep).  BENCH_TRAIN=0 skips it.
     import os
 
-    if os.environ.get("BENCH_TRAIN") == "1":
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
         from yolo_v3_tpu.train.optimizer import make_optimizer
         from yolo_v3_tpu.train.step import make_train_step
         from yolo_v3_tpu.utils.config import TrainConfig
 
-        tcfg = TrainConfig(lr=1e-3, backbone_lr=1e-4)
+        tcfg = TrainConfig(lr=1e-3, backbone_lr=1e-4,
+                           compute_dtype="bfloat16")
         tx = make_optimizer(params, tcfg)
         opt_state = tx.init(params)
-        step = make_train_step(config, tx)
+        step = make_train_step(config, tx, compute_dtype=jnp.bfloat16)
         B = 16
-        imgs = jnp.asarray(
-            rng.uniform(0, 1, (1, B, 416, 416, 3)).astype(np.float32)
+        gen_t = jax.jit(
+            lambda k, d: jax.random.uniform(k, (1, B, d, d, 3), jnp.float32),
+            static_argnums=(1,),
         )
         labels = np.zeros((1, B, config.max_labels, 5), np.float32)
         labels[..., :3, :] = [1, 0.5, 0.5, 0.3, 0.3]
         labels = jnp.asarray(labels)
 
-        p, s, o, st = step(params, state, opt_state, imgs, labels)
-        _sync(st)
-        t0 = time.perf_counter()
-        iters = 10
-        for _ in range(iters):
-            p, s, o, st = step(p, s, o, imgs, labels)
-        _sync(st)
-        ms = (time.perf_counter() - t0) / iters * 1e3
-        results["train_ms_per_step_bs16"] = round(ms, 2)
-        results["train_imgs_per_sec"] = round(B / ms * 1e3, 1)
+        for dim in (320, 416, 608):
+            _log(f"train step bf16 dim {dim}")
+            imgs = gen_t(jax.random.PRNGKey(dim), dim)
+            p, s, o, st = step(params, state, opt_state, imgs, labels)
+            _sync(st)
+            t0 = time.perf_counter()
+            iters = 10
+            for _ in range(iters):
+                p, s, o, st = step(p, s, o, imgs, labels)
+            _sync(st)
+            ms = (time.perf_counter() - t0) / iters * 1e3
+            results[f"train_ms_per_step_bs16_{dim}"] = round(ms, 2)
+            results[f"train_imgs_per_sec_{dim}"] = round(B / ms * 1e3, 1)
 
     print(json.dumps({
         "metric": "imgs_per_sec_per_chip_yolov3_416_bf16_e2e",

@@ -53,7 +53,8 @@ class TestCLI:
 
         wpath, _ = tiny_weights
         out = str(tmp_path / "conv.npz")
-        main(["weights", "convert", wpath, "--out", out, "--num-classes", "3"])
+        main(["weights", "convert", wpath, "--out", out, "--num-classes", "3",
+              "--blocks", "1,1,1,1,1"])
         tree, meta = W.load_pytree(out)
         assert meta["seen"] == 5
         assert "params" in tree and "state" in tree

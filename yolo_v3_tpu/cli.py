@@ -171,7 +171,10 @@ def cmd_weights(args):
             "n_floats": int(blob.size),
         }))
     elif args.action == "convert":
-        params, state = D.init_yolonet(jax.random.PRNGKey(0), args.num_classes)
+        blocks = (tuple(int(b) for b in args.blocks.split(","))
+                  if args.blocks else D.DARKNET53_BLOCKS)
+        params, state = D.init_yolonet(jax.random.PRNGKey(0), args.num_classes,
+                                       blocks=blocks)
         params, state, n, hdr = W.load_darknet_weights(params, state, args.path)
         W.save_pytree({"params": params, "state": state}, args.out,
                       meta={"seen": int(hdr[3]), "source": args.path})
@@ -244,11 +247,17 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("path")
     w.add_argument("--out", default="model.npz")
     w.add_argument("--num-classes", type=int, default=80)
+    w.add_argument("--blocks", default=None,
+                   help="comma-separated per-stage residual counts for "
+                        "reduced backbones (default: darknet-53's 1,2,8,8,4)")
     w.set_defaults(fn=cmd_weights)
     return p
 
 
 def main(argv=None):
+    from yolo_v3_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 

@@ -157,6 +157,14 @@ def init_yolonet(
     return params, state
 
 
+# Eagerly, the ~380 small init ops each pay this environment's 30-70 ms
+# per-dispatch tunnel RTT (minutes of wall clock for one init); as one jitted
+# program it is a single dispatch.
+init_yolonet = jax.jit(
+    init_yolonet, static_argnames=("num_classes", "dtype", "blocks")
+)
+
+
 # ---------------------------------------------------------------------------
 # Apply
 # ---------------------------------------------------------------------------
@@ -329,8 +337,15 @@ def fold_batchnorm(params: Params, state: State) -> Params:
     return fold(params, state)
 
 
+# One dispatch instead of ~5 eager ops per conv (see init_yolonet note).
+fold_batchnorm = jax.jit(fold_batchnorm)
+
+
 def cast_params(params: Params, dtype) -> Params:
     return jax.tree.map(lambda a: a.astype(dtype), params)
+
+
+cast_params = jax.jit(cast_params, static_argnames=("dtype",))
 
 
 def _conv_bias_leaky(p, x, stride=1, leaky=True):

@@ -361,4 +361,7 @@ def build_quantized(params, state, calib_x: jnp.ndarray,
         folded = D.fold_space_to_depth(folded)
     stats = jax.jit(lambda x: calibrate_yolonet(folded, x))(calib_x)
     stats = {k: np.asarray(v) for k, v in stats.items()}
+    # one bulk device->host transfer: per-weight np.asarray readbacks in
+    # quantize_yolonet would otherwise each pay a blocking tunnel RTT
+    folded = jax.device_get(folded)
     return quantize_yolonet(folded, stats)

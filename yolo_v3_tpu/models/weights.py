@@ -67,11 +67,19 @@ def load_darknet_weights(
     return load_darknet_blob(params, state, blob, paths, allow_partial) + (header,)
 
 
+def infer_blocks(params) -> tuple:
+    """Per-stage residual-block counts read off the params tree, so the
+    default codec paths match reduced-``blocks`` models (test fixtures)."""
+    bk = params["backbone"]
+    stages = sorted(k for k in bk if k.startswith("stage"))
+    return tuple(sum(1 for k in bk[s] if k.startswith("res")) for s in stages)
+
+
 def load_darknet_blob(params, state, blob: np.ndarray, paths=None, allow_partial=False):
     params = jax.tree.map(lambda a: a, params)  # shallow functional copy
     state = jax.tree.map(lambda a: a, state)
     if paths is None:
-        paths = conv_layer_paths()
+        paths = conv_layer_paths(blocks=infer_blocks(params))
 
     ptr = 0
 
@@ -114,7 +122,7 @@ def save_darknet_weights(params, state, path: str, paths=None, seen: int = 0,
                          version=(0, 2, 0)):
     """Write params/state as a darknet ``.weights`` file (codec inverse)."""
     if paths is None:
-        paths = conv_layer_paths()
+        paths = conv_layer_paths(blocks=infer_blocks(params))
     chunks: List[np.ndarray] = []
     for p in paths:
         pp = _get_path(params, p)

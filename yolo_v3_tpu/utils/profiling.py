@@ -18,6 +18,26 @@ import numpy as np
 import jax
 
 
+def enable_compilation_cache(path: str = "/root/repo/.jax_cache") -> None:
+    """Enable JAX's persistent compilation cache (verified working on the
+    axon backend: ~1.5 s compile → ~0.3 s reload in a fresh process).
+
+    min_compile_time is forced to 0 because the tunnel backend reports
+    near-zero local compile durations, which would skip every entry at the
+    default threshold.  Call early — before the first ``jit`` compilation.
+    """
+    try:
+        if jax.default_backend() == "cpu":
+            # local CPU compiles are fast, and persisted CPU AOT executables
+            # reload with machine-feature mismatch warnings (risk of SIGILL)
+            return
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax or unsupported backend: caching is best-effort
+
+
 def sync(tree) -> None:
     """Force real device synchronization via a tiny host readback."""
     leaves = jax.tree.leaves(tree)
