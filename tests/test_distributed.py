@@ -20,6 +20,17 @@ from yolo_v3_tpu.utils.config import TrainConfig, YoloConfig
 CFG = YoloConfig(num_classes=2, img_dim=64)
 
 
+@pytest.fixture(autouse=True)
+def _fresh_trace_caches():
+    """Retracing the mesh-sharded train step with abstract-eval caches
+    populated by earlier tests' (since-destroyed) meshes intermittently
+    aborts in XLA's C++ sharding rule (SIGABRT in call_sharding_rule when
+    the full suite runs in one process; never in isolation).  Clearing
+    jax's caches before each test here avoids the stale-mesh interaction."""
+    jax.clear_caches()
+    yield
+
+
 class TestProcessContext:
     def test_single_process_noop(self):
         ctx = dist.initialize()

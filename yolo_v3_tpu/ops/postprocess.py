@@ -246,6 +246,111 @@ def _scale_constants(shapes, anchor_masks, anchors, img_dim):
     )
 
 
+def _postprocess_fast_display(raws, config, img_dim, conf_thr, nms_thr,
+                              use_nms: bool, per_scale_k: int) -> jnp.ndarray:
+    """Display-mode postprocess with per-scale candidate selection.
+
+    Identical math and output contract to the global-top-k display path,
+    but (a) per-anchor scores come from *static lane slices* of the raw
+    [B, H, W, A*attrib] head outputs — no [B, N, attrib] reshape/concat of
+    the full candidate tensor is ever materialized — and (b) the expensive
+    [B, N, attrib] row gather is replaced by per-scale gathers of whole
+    cells ([B, k, A*attrib], tiny), with decode constants computed
+    arithmetically from the candidate index instead of gathered.  Measured
+    8.4 -> ~4 ms/batch64 at 416 on-chip.
+
+    Selection-policy deviation (the ONLY one): candidates are the union of
+    each scale's top ``per_scale_k`` rows rather than the global top
+    ``pre_nms_topk``.  Final detections match the exact path whenever no
+    scale has more than ``per_scale_k`` rows above ``conf_thr``
+    (tests/test_postprocess_fast.py).
+    """
+    C = config.num_classes
+    attrib = 5 + C
+    A = config.anchors_per_scale
+    m = config.max_detections
+
+    boxes_l, score_l, cls_l, obj_l = [], [], [], []
+    for raw, mask in zip(raws, config.anchor_masks):
+        b, h, w, _ = raw.shape
+        stride = img_dim / h
+        aw_c = jnp.asarray([config.anchors[i][0] for i in mask], jnp.float32)
+        ah_c = jnp.asarray([config.anchors[i][1] for i in mask], jnp.float32)
+
+        per_a = []
+        for a in range(A):
+            o = raw[..., a * attrib + 4].astype(jnp.float32)
+            cmx = jnp.max(
+                raw[..., a * attrib + 5:a * attrib + attrib].astype(jnp.float32),
+                axis=-1,
+            )
+            per_a.append(jax.nn.sigmoid(o) * jax.nn.sigmoid(cmx))
+        s = jnp.stack(per_a, axis=-1).reshape(b, -1)   # [B, H*W*A], (h,w,a)
+        s = jnp.where(s > conf_thr, s, 0.0)
+
+        k_s = min(per_scale_k, s.shape[1])
+        top_s, top_i = jax.lax.top_k(s, k_s)
+        top_i = top_i.astype(jnp.int32)
+
+        cells = raw.reshape(b, h * w, A * attrib)      # layout-free view
+        g = jnp.take_along_axis(cells, (top_i // A)[..., None], axis=1)
+        g = g.reshape(b, k_s, A, attrib)
+        a_i = top_i % A
+        row = jnp.take_along_axis(g, a_i[..., None, None], axis=2)[:, :, 0]
+        row = row.astype(jnp.float32)                  # [B, k_s, attrib]
+
+        cell = top_i // A
+        gx = (cell % w).astype(jnp.float32)
+        gy = (cell // w).astype(jnp.float32)
+        bx = (jax.nn.sigmoid(row[..., 0]) + gx) * stride
+        by = (jax.nn.sigmoid(row[..., 1]) + gy) * stride
+        bw = jnp.exp(row[..., 2]) * aw_c[a_i]
+        bh = jnp.exp(row[..., 3]) * ah_c[a_i]
+        boxes_l.append(jnp.stack(
+            [bx - bw / 2, by - bh / 2, bx + bw / 2, by + bh / 2], axis=-1))
+        score_l.append(top_s)
+        cls_l.append(jnp.argmax(row[..., 5:], axis=-1).astype(jnp.float32))
+        obj_l.append(jax.nn.sigmoid(row[..., 4]))
+
+    boxes = jnp.concatenate(boxes_l, axis=1)           # [B, K, 4]
+    score = jnp.concatenate(score_l, axis=1)
+    cls = jnp.concatenate(cls_l, axis=1)
+    obj = jnp.concatenate(obj_l, axis=1)
+
+    # nms_fixed requires descending score order; sort the (small) merged set
+    k = score.shape[1]
+    score, perm = jax.lax.top_k(score, k)
+    boxes = jnp.take_along_axis(boxes, perm[..., None], axis=1)
+    cls = jnp.take_along_axis(cls, perm, axis=1)
+    obj = jnp.take_along_axis(obj, perm, axis=1)
+
+    def per_image(boxes_i, score_i, cls_i, obj_i):
+        if use_nms:
+            shifted = boxes_i + (cls_i * _CLASS_OFFSET)[:, None]
+            sel, valid = nms_fixed(shifted, score_i, nms_thr, m)
+        else:
+            m_eff = min(m, k)
+            sel = jnp.arange(m_eff, dtype=jnp.int32)
+            valid = score_i[sel] > 0.0
+            if m_eff < m:
+                pad = m - m_eff
+                sel = jnp.concatenate([sel, jnp.zeros((pad,), jnp.int32)])
+                valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+        out = jnp.concatenate(
+            [
+                boxes_i[sel],
+                obj_i[sel][:, None],
+                score_i[sel][:, None],
+                cls_i[sel][:, None],
+                valid.astype(jnp.float32)[:, None],
+            ],
+            axis=-1,
+        )
+        return out * valid[:, None].astype(jnp.float32)
+
+    return jax.vmap(per_image)(boxes, score, cls, obj)
+
+
 def postprocess_from_raws(
     raws,
     config,
@@ -267,6 +372,12 @@ def postprocess_from_raws(
     Returns [B, M, 8] rows (x1, y1, x2, y2, obj, prob, cls, valid) in
     input-image pixels, like ``postprocess``.
     """
+    if (not is_eval) and getattr(config, "display_per_scale_topk", 0) > 0:
+        return _postprocess_fast_display(
+            raws, config, img_dim, conf_thr, nms_thr, use_nms,
+            config.display_per_scale_topk,
+        )
+
     C = config.num_classes
     attrib = 5 + C
     nA = config.anchors_per_scale

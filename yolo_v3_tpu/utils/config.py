@@ -63,6 +63,14 @@ class YoloConfig:
     # scores maxDets=100 anyway).
     pre_nms_topk: int = 512
     max_detections: int = 128
+    # Display/serving fast path: per-scale top-k candidate selection with
+    # static-lane score extraction (never materializes the [B, N, 85] flat
+    # tensor; measured 8.4 -> ~4 ms/batch64 postprocess on-chip).  Final
+    # detections are identical to the global-top-k path whenever each scale
+    # holds <= this many candidates above conf_thr (at display conf 0.5
+    # real scenes have a handful; tests/test_postprocess_fast.py gates
+    # parity).  0 falls back to the global-top-k exact path.
+    display_per_scale_topk: int = 128
     # Eval mode keeps every (box, class) pair above 0.005 in the reference
     # (utils.py:236-238) — routinely thousands per image on real weights —
     # so the eval-mode candidate bound is separate and large so mAP-parity
