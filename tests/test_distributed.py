@@ -67,7 +67,49 @@ class TestShardedTrainingParity:
         """Two simulated hosts' shards, concatenated into the global batch
         and trained on the DP mesh, produce the same params as the
         single-host batch trained on one device — the data-sharding
-        determinism contract extended through the train step."""
+        determinism contract extended through the train step.
+
+        Runs in a fresh subprocess: after ~60 suite tests (torch + XLA CPU
+        loaded in-process), tracing this mesh-sharded train step SIGABRTs
+        intermittently inside XLA's C++ (no Python-level cause; passes in
+        isolation every time).  Subprocess isolation makes the suite
+        deterministic; the child still runs the full assertion body."""
+        import os
+        import subprocess
+        import sys
+
+        if os.environ.get("YOLO_SHARDED_PARITY_CHILD") != "1":
+            env = dict(os.environ, YOLO_SHARDED_PARITY_CHILD="1",
+                       JAX_PLATFORMS="cpu")
+            # Don't register the TPU-tunnel PJRT plugin in the child: the
+            # abort correlates with two live tunnel sessions (sitecustomize
+            # register()s one per python process).
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            for attempt in range(3):
+                r = subprocess.run(
+                    [sys.executable, "-m", "pytest", "-q",
+                     "-p", "no:cacheprovider",
+                     __file__ + "::TestShardedTrainingParity"
+                     "::test_two_host_shards_train_like_one_host"],
+                    env=env, capture_output=True, text=True, timeout=1200,
+                    cwd=os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__))),
+                )
+                if r.returncode == 0:
+                    return
+                crash = (
+                    "Aborted" in r.stderr
+                    or "Fatal Python error" in r.stderr
+                    or r.returncode < 0          # killed by signal
+                )
+                if not crash:
+                    break  # real assertion failure: don't mask it by retrying
+            raise AssertionError(
+                f"child run failed\nstdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+            )
+        self._body(coco_dir)
+
+    def _body(self, coco_dir):
         def helper(host_id, n_hosts):
             ds = ListDataset(coco_dir,
                              trans_fn=lambda dim: T.eval_transform(dim))

@@ -59,8 +59,12 @@ class TestFastDisplayParity:
     def test_eval_mode_unaffected(self, rng):
         """is_eval must ignore the fast path (exact parity surface)."""
         raws = mk_raws(rng, b=2)
-        exact_cfg = dataclasses.replace(CFG, display_per_scale_topk=0)
-        a = postprocess_from_raws(raws, CFG, 128, 0.05, 0.45, is_eval=True)
+        # small candidate bound: this gates path DISPATCH equality, not
+        # truncation behavior (tests/test_eval_truncation.py does that),
+        # and the 4096-candidate NMS matrix is slow on the CPU mesh
+        cfg = dataclasses.replace(CFG, eval_pre_nms_topk=256)
+        exact_cfg = dataclasses.replace(cfg, display_per_scale_topk=0)
+        a = postprocess_from_raws(raws, cfg, 128, 0.05, 0.45, is_eval=True)
         b = postprocess_from_raws(raws, exact_cfg, 128, 0.05, 0.45,
                                   is_eval=True)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
