@@ -154,7 +154,11 @@ class TestFusedPostprocess:
         from yolo_v3_tpu.ops.decode import decode_all
         from yolo_v3_tpu.utils.config import YoloConfig
 
-        cfg = YoloConfig(num_classes=6, pre_nms_topk=128, max_detections=32)
+        # eval_pre_nms_topk=128 matches the legacy call's explicit bound and
+        # keeps the eval-mode NMS matrix small on CPU (truncation behavior is
+        # covered by tests/test_eval_truncation.py)
+        cfg = YoloConfig(num_classes=6, pre_nms_topk=128, max_detections=32,
+                         eval_pre_nms_topk=128)
         raws = [
             jnp.asarray(rng.normal(size=(2, g, g, 3 * 11)).astype(np.float32))
             for g in (4, 8, 16)
@@ -198,7 +202,8 @@ class TestApproxTopK:
         from yolo_v3_tpu.ops.decode import decode_all
         from yolo_v3_tpu.utils.config import YoloConfig
 
-        cfg = YoloConfig(num_classes=6, pre_nms_topk=128, max_detections=32)
+        cfg = YoloConfig(num_classes=6, pre_nms_topk=128, max_detections=32,
+                         eval_pre_nms_topk=256)
         raws = [
             jnp.asarray(rng.normal(size=(2, g, g, 3 * 11)).astype(np.float32))
             for g in (4, 8, 16)

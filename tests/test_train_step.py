@@ -7,11 +7,16 @@ import pytest
 
 from yolo_v3_tpu.models import darknet as D
 from yolo_v3_tpu.parallel import mesh as M
+from yolo_v3_tpu.train.loop import _optimizer_and_step
 from yolo_v3_tpu.train.optimizer import make_optimizer
 from yolo_v3_tpu.train.step import make_train_step, loss_fn
 from yolo_v3_tpu.utils.config import TrainConfig, YoloConfig
 
 CFG = YoloConfig(num_classes=2, img_dim=64)
+# one fwd+bwd+update XLA program is ~25 s to compile on the CPU mesh; these
+# tests share compiled steps through the train-loop's process-level cache
+TCFG = TrainConfig(lr=1e-3, backbone_lr=1e-4)
+TCFG16 = TrainConfig(lr=1e-3, backbone_lr=1e-4, compute_dtype="bfloat16")
 
 
 def tiny_batch(rng, S=2, B=2, dim=64, T=10):
@@ -35,10 +40,8 @@ def net():
 class TestTrainStep:
     def test_loss_decreases(self, net, rng):
         params, state = net
-        tcfg = TrainConfig(lr=1e-3, backbone_lr=1e-4)
-        tx = make_optimizer(params, tcfg)
+        tx, step = _optimizer_and_step(params, CFG, TCFG)
         opt_state = tx.init(params)
-        step = make_train_step(CFG, tx)
         imgs, labels = tiny_batch(rng)
         losses = []
         for _ in range(8):
@@ -55,10 +58,8 @@ class TestTrainStep:
         import optax
 
         params, state = net
-        tcfg = TrainConfig(lr=1e-3, backbone_lr=1e-4)
-        tx = make_optimizer(params, tcfg)
+        tx, step = _optimizer_and_step(params, CFG, TCFG)
         opt_state = tx.init(params)
-        step = make_train_step(CFG, tx)
         imgs, labels = tiny_batch(rng, S=2, B=2)
 
         # manual accumulation, threading BN state through micro-batches
@@ -116,9 +117,7 @@ class TestDataParallel:
     def test_dp_matches_single_device(self, net, rng):
         """Same step, same data: sharded-over-8-devices == single device."""
         params, state = net
-        tcfg = TrainConfig(lr=1e-3, backbone_lr=1e-4)
-        tx = make_optimizer(params, tcfg)
-        step = make_train_step(CFG, tx)
+        tx, step = _optimizer_and_step(params, CFG, TCFG)
         imgs, labels = tiny_batch(rng, S=1, B=8)
 
         p1, s1, o1, stats1 = step(params, state, tx.init(params), imgs, labels)
@@ -146,12 +145,10 @@ class TestDataParallel:
 class TestMixedPrecision:
     def test_bf16_step_close_to_f32(self, net, rng):
         params, state = net
-        tcfg = TrainConfig(lr=1e-3, backbone_lr=1e-4)
-        tx = make_optimizer(params, tcfg)
         imgs, labels = tiny_batch(rng)
 
-        step32 = make_train_step(CFG, tx)
-        step16 = make_train_step(CFG, tx, compute_dtype=jnp.bfloat16)
+        tx, step32 = _optimizer_and_step(params, CFG, TCFG)
+        _, step16 = _optimizer_and_step(params, CFG, TCFG16)
         p32, s32, _, st32 = step32(params, state, tx.init(params), imgs, labels)
         p16, s16, _, st16 = step16(params, state, tx.init(params), imgs, labels)
 
@@ -165,10 +162,8 @@ class TestMixedPrecision:
 
     def test_bf16_training_reduces_loss(self, net, rng):
         params, state = net
-        tcfg = TrainConfig(lr=1e-3, backbone_lr=1e-4, compute_dtype="bfloat16")
-        tx = make_optimizer(params, tcfg)
+        tx, step = _optimizer_and_step(params, CFG, TCFG16)
         opt_state = tx.init(params)
-        step = make_train_step(CFG, tx, compute_dtype=jnp.bfloat16)
         imgs, labels = tiny_batch(rng)
         losses = []
         for _ in range(6):

@@ -159,10 +159,24 @@ def init_yolonet(
 
 # Eagerly, the ~380 small init ops each pay this environment's 30-70 ms
 # per-dispatch tunnel RTT (minutes of wall clock for one init); as one jitted
-# program it is a single dispatch.
-init_yolonet = jax.jit(
+# program it is a single dispatch.  On the CPU backend (the test mesh) the
+# trade inverts: eager ops are free while each distinct (num_classes,
+# blocks, dtype) signature costs a ~20-60 s XLA CPU compile — so jit only
+# off-CPU.
+_init_yolonet_eager = init_yolonet
+_init_yolonet_jit = jax.jit(
     init_yolonet, static_argnames=("num_classes", "dtype", "blocks")
 )
+
+
+def init_yolonet(key, num_classes: int = 80, dtype=jnp.float32,
+                 blocks: Tuple[int, ...] = DARKNET53_BLOCKS):
+    fn = (_init_yolonet_eager if jax.default_backend() == "cpu"
+          else _init_yolonet_jit)
+    return fn(key, num_classes=num_classes, dtype=dtype, blocks=blocks)
+
+
+init_yolonet.__doc__ = _init_yolonet_eager.__doc__
 
 
 # ---------------------------------------------------------------------------
@@ -337,15 +351,33 @@ def fold_batchnorm(params: Params, state: State) -> Params:
     return fold(params, state)
 
 
-# One dispatch instead of ~5 eager ops per conv (see init_yolonet note).
-fold_batchnorm = jax.jit(fold_batchnorm)
+# One dispatch instead of ~5 eager ops per conv (see init_yolonet note);
+# eager on CPU, where compiles are the cost instead of dispatches.
+_fold_batchnorm_eager = fold_batchnorm
+_fold_batchnorm_jit = jax.jit(fold_batchnorm)
+
+
+def fold_batchnorm(params: Params, state: State) -> Params:
+    fn = (_fold_batchnorm_eager if jax.default_backend() == "cpu"
+          else _fold_batchnorm_jit)
+    return fn(params, state)
+
+
+fold_batchnorm.__doc__ = _fold_batchnorm_eager.__doc__
 
 
 def cast_params(params: Params, dtype) -> Params:
     return jax.tree.map(lambda a: a.astype(dtype), params)
 
 
-cast_params = jax.jit(cast_params, static_argnames=("dtype",))
+_cast_params_jit = jax.jit(cast_params, static_argnames=("dtype",))
+_cast_params_eager = cast_params
+
+
+def cast_params(params: Params, dtype) -> Params:  # noqa: F811
+    fn = (_cast_params_eager if jax.default_backend() == "cpu"
+          else _cast_params_jit)
+    return fn(params, dtype=dtype)
 
 
 def _conv_bias_leaky(p, x, stride=1, leaky=True):

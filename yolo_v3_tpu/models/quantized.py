@@ -359,7 +359,9 @@ def build_quantized(params, state, calib_x: jnp.ndarray,
     folded = D.fold_batchnorm(params, state)
     if space_to_depth:
         folded = D.fold_space_to_depth(folded)
-    stats = jax.jit(lambda x: calibrate_yolonet(folded, x))(calib_x)
+    # params as traced args (NOT closure constants: baking ~60 MB of weights
+    # into the program as literals slows XLA compilation dramatically)
+    stats = jax.jit(calibrate_yolonet)(folded, calib_x)
     stats = {k: np.asarray(v) for k, v in stats.items()}
     # one bulk device->host transfer: per-weight np.asarray readbacks in
     # quantize_yolonet would otherwise each pay a blocking tunnel RTT

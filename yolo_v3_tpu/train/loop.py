@@ -29,6 +29,28 @@ from yolo_v3_tpu.train.recorder import Recorder
 from yolo_v3_tpu.train.step import make_train_step
 from yolo_v3_tpu.utils.config import TrainConfig, YoloConfig
 
+# Process-level (optimizer, compiled step) cache.  ``make_train_step`` wraps
+# a fresh closure in ``jax.jit`` every call, so without this, every
+# ``train()`` invocation recompiles the full fwd+bwd+update XLA program even
+# for identical configs — tens of seconds per call on the CPU test mesh,
+# and a real cost in train-eval-train workflows on chip.  Keyed by the
+# hashable frozen configs + the params tree structure (the optimizer's
+# group labels and the step's gradient tree depend only on structure).
+_STEP_CACHE: Dict = {}
+
+
+def _optimizer_and_step(params, config: YoloConfig, tcfg: TrainConfig):
+    key = (config, tcfg, jax.tree.structure(params))
+    hit = _STEP_CACHE.get(key)
+    if hit is None:
+        compute_dtype = (
+            jnp.bfloat16 if tcfg.compute_dtype == "bfloat16" else jnp.float32
+        )
+        tx = make_optimizer(params, tcfg)
+        hit = (tx, make_train_step(config, tx, compute_dtype=compute_dtype))
+        _STEP_CACHE[key] = hit
+    return hit
+
 
 def train(
     data,
@@ -51,7 +73,7 @@ def train(
     recorder).
     """
     recorder = recorder or Recorder()
-    tx = make_optimizer(params, tcfg)
+    tx, step = _optimizer_and_step(params, config, tcfg)
     opt_state = tx.init(params)
 
     if checkpoint is not None:
@@ -73,10 +95,6 @@ def train(
         state = M.replicate(mesh, state)
         opt_state = M.replicate(mesh, opt_state)
 
-    compute_dtype = (
-        jnp.bfloat16 if tcfg.compute_dtype == "bfloat16" else jnp.float32
-    )
-    step = make_train_step(config, tx, compute_dtype=compute_dtype)
     S = data.net_subdivisions
 
     micro_imgs, micro_labels = [], []
