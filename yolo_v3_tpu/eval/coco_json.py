@@ -91,15 +91,18 @@ def create_results_entry(image_id: int, category_id: int, bbox, score) -> Dict:
 
 class JsonPredictionWriter:
     """Streaming results writer (reference JsonPredictionWriter,
-    evaluate.py:164-195) — accumulates entries and writes one valid JSON
-    array on close; context-manager friendly."""
+    evaluate.py:151-195) — entries go to disk as they arrive (constant
+    memory at any eval-set size), closed into one valid JSON array;
+    context-manager friendly."""
 
     def __init__(self, out_path: str, class_names: Sequence[str],
                  is_letterbox: bool = False):
         self.out_path = out_path
         self.class_names = class_names
         self.is_letterbox = is_letterbox
-        self.entries: List[Dict] = []
+        self.count = 0
+        self._f = open(out_path, "w")
+        self._f.write("[")
 
     def __enter__(self):
         return self
@@ -111,10 +114,14 @@ class JsonPredictionWriter:
         """``detections``: [n, 7] rows [cls, x, y, w, h, prob, obj] in
         original-image pixels (Detector.detect output)."""
         for row in detections:
-            self.entries.append(
-                create_results_entry(image_id, int(row[0]), row[1:5], row[5])
-            )
+            entry = create_results_entry(image_id, int(row[0]), row[1:5],
+                                         row[5])
+            self._f.write(",\n" if self.count else "\n")
+            json.dump(entry, self._f, indent=4, separators=(",", ":"))
+            self.count += 1
 
     def close(self) -> None:
-        with open(self.out_path, "w") as f:
-            json.dump(self.entries, f, indent=4, separators=(",", ":"))
+        if self._f.closed:
+            return
+        self._f.write("\n]" if self.count else "]")
+        self._f.close()
