@@ -106,6 +106,22 @@ def main():
         results[f"bs{batch}_ms_per_batch_int8"] = round(ms_q, 2)
         best = max(best, ips_q)
 
+        # uint8 feed (the serving-native input: letterboxed u8 images; the
+        # zero point folds into the stem bias — models/quantized.py)
+        xs_u8 = [jax.jit(lambda k: jax.random.randint(
+            k, (batch, 416, 416, 3), 0, 256, jnp.uint8))(jax.random.PRNGKey(i))
+            for i in range(2)]
+        full_q8 = jax.jit(lambda u: postprocess_from_raws(
+            Q.apply_yolonet_quantized_u8(qtree, u), config, 416,
+            config.conf_thr, config.nms_thr,
+        ))
+        _log(f"int8-u8 e2e bs{batch}")
+        ms_q8 = timeit(full_q8, xs_u8)
+        ips_q8 = batch / ms_q8 * 1e3
+        results[f"bs{batch}_imgs_per_sec_int8_u8feed"] = round(ips_q8, 1)
+        results[f"bs{batch}_ms_per_batch_int8_u8feed"] = round(ms_q8, 2)
+        best = max(best, ips_q8)
+
         if batch == 64:
             # reduce raw outputs inside the jit: reading back the 115MB
             # raw tensors through the tunnel would dominate the timing

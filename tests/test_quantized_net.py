@@ -143,6 +143,49 @@ def test_quantized_tree_is_int8(setup):
     assert n_int8 == len(D.conv_layer_paths(blocks=(1, 1, 1, 1, 1)))
 
 
+def test_stem4_entry_bit_exact(setup):
+    """The 4x4-domain stem + repack is bit-identical to the legacy 2x2-domain
+    stem: same filters, same per-channel scales, same integer accumulation —
+    only the block packing (and the MXU efficiency) differs."""
+    params, state, x = setup
+    q = Q.build_quantized(params, state, x, space_to_depth=True)
+    assert "stem4" in q["s2d"] and "stem4_u8" in q["s2d"]
+    fast = jax.jit(lambda x: Q.apply_yolonet_quantized(q, x))(x)
+    legacy = dict(q)
+    legacy["s2d"] = {k: v for k, v in q["s2d"].items()
+                     if not k.startswith("stem4")}
+    slow = jax.jit(lambda x: Q.apply_yolonet_quantized(legacy, x))(x)
+    for a, b in zip(fast, slow):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
+def test_u8_entry_matches_float_path(setup):
+    """uint8 feed (zero-point folded into the stem bias, exact 1/255 input
+    scale) tracks the float forward as closely as the float-image int8 path
+    does — the input grid is finer, everything downstream is identical."""
+    params, state, x = setup
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (2, DIM, DIM, 3), dtype=np.uint8)
+    xf = jnp.asarray(u8.astype(np.float32) / 255.0)
+    q = Q.build_quantized(params, state, x, space_to_depth=True)
+    got = jax.jit(lambda u: Q.apply_yolonet_quantized_u8(q, u))(jnp.asarray(u8))
+    via_float = jax.jit(lambda x: Q.apply_yolonet_quantized(q, x))(xf)
+    folded = D.fold_space_to_depth(D.fold_batchnorm(params, state))
+    ref = jax.jit(lambda x: D.apply_yolonet_folded(folded, x))(xf)
+    for g, w, r in zip(got, via_float, ref):
+        g = np.asarray(g, np.float32)
+        w = np.asarray(w, np.float32)
+        r = np.asarray(r, np.float32)
+        # the u8 feed must track the FLOAT forward at least as well as the
+        # float-image int8 path does (the input grids differ — u8's is
+        # finer — so comparing the two int8 paths to each other only
+        # measures mutual quantization jitter, ~0.06 span on random nets)
+        err_u8 = np.abs(g - r).mean()
+        err_f = np.abs(w - r).mean()
+        assert err_u8 < 1.1 * err_f + 1e-3, (err_u8, err_f)
+
+
 def test_requant_roundtrip():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(-127, 128, (4, 4), dtype=np.int8))

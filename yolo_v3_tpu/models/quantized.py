@@ -171,6 +171,51 @@ def _qconv(p, s_in: float, s_out, leaky_unused=None) -> Dict:
     }
 
 
+def _stem4_weights(stem_w, stem_b) -> Tuple[np.ndarray, np.ndarray]:
+    """Remap the stem conv (3x3/1, 3->32) into the 4x4 space-to-depth domain.
+
+    Input: the image padded (1,3)x(1,3) and 4x4-block-packed to
+    [B, H/4+1, W/4+1, 48]; output [B, H/4, W/4, 512] = the stem activations
+    in 4x4 blocks with (dy, dx, c) channel order.  K grows 12 -> 192 and the
+    output fills 512 lanes, so the MXU stops starving on the entry conv
+    (measured 3.5 ms -> ~0.6 ms at bs64/416; the 2x2-domain stem's K=108 on
+    12 input channels ran at ~22 TOP/s).
+    """
+    stem_w = np.asarray(stem_w, np.float32)            # [3, 3, cin, c1]
+    stem_b = np.asarray(stem_b, np.float32)
+    cin, c1 = stem_w.shape[2], stem_w.shape[3]
+    w4 = np.zeros((2, 2, 16 * cin, 16 * c1), np.float32)
+    for dy in range(4):
+        for dx in range(4):
+            co = (dy * 4 + dx) * c1
+            for u in range(3):
+                for v in range(3):
+                    t, s = dy + u, dx + v              # +1 pad already folded
+                    ci = ((t % 4) * 4 + (s % 4)) * cin
+                    w4[t // 4, s // 4, ci:ci + cin, co:co + c1] = stem_w[u, v]
+    return w4, np.tile(stem_b, 16)
+
+
+def _space_to_depth4(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, 4H, 4W, C] -> [B, H, W, 16C] with (by, bx, c) channel order."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 4, 4, w // 4, 4, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 4, w // 4, 16 * c)
+
+
+def _repack_s2d4_to_s2d2(y4: jnp.ndarray) -> jnp.ndarray:
+    """Stem output [B, H/4, W/4, 16*c] (4x4 blocks, (dy,dx,c) order) ->
+    [B, H/2, W/2, 4*c] (2x2 blocks) — the layout the s2d-domain down0
+    expects.  A single int8 transpose (~88 MB round-trip at bs64/416)."""
+    b, h, w, c16 = y4.shape
+    c = c16 // 16
+    # channel = ((2*ih+by)*4 + (2*jh+bx))*c + cc -> dims (ih, by, jh, bx, cc)
+    x = y4.reshape(b, h, w, 2, 2, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 5, 4, 6, 7)            # (B,I,ih,J,jh,by,bx,c)
+    return x.reshape(b, 2 * h, 2 * w, 4 * c)
+
+
 def quantize_yolonet(folded: Dict, stats: Dict[str, np.ndarray]) -> Dict:
     """Build the int8 serving tree from BN-folded float params + calibration
     stats.  The tree carries per-conv int8 weights/multipliers and the
@@ -188,6 +233,27 @@ def quantize_yolonet(folded: Dict, stats: Dict[str, np.ndarray]) -> Dict:
         sp = folded["s2d"]
         qs: Dict = {}
         qs["stem"] = _qconv(sp["stem"], sc["image"], sc["s2d/stem"])
+        # 4x4-domain stem (the fast entry) + its uint8-input variant.  Same
+        # filters/scales as the 2x2 stem, so outputs are bit-identical.
+        w4, b4 = _stem4_weights(p["stem"]["w"], p["stem"]["b"])
+        w4q, s4w = _quant_w(w4)
+        s_out = sc["s2d/stem"]
+        qs["stem4"] = {
+            "w": w4q,
+            "m": jnp.asarray(sc["image"] * s4w / s_out),
+            "b": jnp.asarray(b4 / s_out),
+        }
+        # uint8 images: feed (u8 - 128) as int8 with exact scale 1/255 and
+        # fold the +128 zero-point through the conv into the bias:
+        # x = (q+128)/255 everywhere incl. the -128 pad (= real 0), so
+        # acc_x = (acc_q + 128 * sum(w_q)) / 255 per output channel.
+        m_u8 = (1.0 / 255.0) * s4w / s_out
+        zp = 128.0 * m_u8 * np.asarray(w4q, np.int32).sum((0, 1, 2))
+        qs["stem4_u8"] = {
+            "w": w4q,
+            "m": jnp.asarray(m_u8),
+            "b": jnp.asarray(b4 / s_out + zp),
+        }
         qs["down0"] = _qconv(sp["down0"], sc["s2d/stem"], sc["s2d/down0"])
         qs["res0_1"] = _qconv(sp["res0_1"], sc["s2d/down0"], sc["s2d/res0_1"])
         qs["res0_2"] = _qconv(sp["res0_2"], sc["s2d/res0_1"], sc["s2d/res0_2"])
@@ -283,31 +349,60 @@ def quantize_image(x: jnp.ndarray, s_image: float) -> jnp.ndarray:
                     -127, 127).astype(jnp.int8)
 
 
+def _entry_s2d(q: Dict, x_q: jnp.ndarray, stem_key: str) -> jnp.ndarray:
+    """int8 image -> stage1 input, all in the space-to-depth domain.
+
+    ``stem4``/``stem4_u8`` run the stem as one [2,2,48,512] conv over 4x4
+    blocks (full MXU lanes) and repack to the 2x2 layout; ``stem`` is the
+    legacy 2x2-domain stem.  ``stem4_u8`` pads with -128 (= real 0 under the
+    u8 zero-point-folded scheme)."""
+    sc = q["scales"]
+    sp = q["s2d"]
+    pad_val = -128 if stem_key == "stem4_u8" else 0
+    xp = jnp.pad(x_q, ((0, 0), (1, 3), (1, 3), (0, 0)),
+                 constant_values=pad_val)
+    if stem_key == "stem":
+        xb = D._space_to_depth2(xp)
+        y = _conv_i8(sp["stem"], xb, padding=((0, 0), (0, 0)))
+    else:
+        xb = _space_to_depth4(xp)
+        y4 = _conv_i8(sp[stem_key], xb, padding=((0, 0), (0, 0)))
+        y = _repack_s2d4_to_s2d2(y4)
+    y = _conv_i8(sp["down0"], y, stride=2, padding=((1, 1), (1, 1)))
+    r = _conv_i8(sp["res0_1"], y, padding=((0, 0), (0, 0)))
+    # the s2d res add: y and r are in different int8 domains; do the add
+    # in conv's fp epilogue via residual
+    r = _conv_i8(sp["res0_2"], r, padding=((1, 1), (1, 1)),
+                 residual=y,
+                 res_scale=sc["s2d/down0"] / sc["s2d/res0_2"])
+    return _conv_i8(sp["down1"], r, padding=((1, 0), (1, 0)))
+
+
+def apply_yolonet_quantized_u8(q: Dict, u8: jnp.ndarray):
+    """int8 forward from a uint8 image (the serving-native feed): no float
+    normalization, no quantize pass — ``u8 ^ 0x80`` reinterpreted as int8 IS
+    the quantized image (scale 1/255, zero point folded into the stem bias).
+    Reads 4x less HBM than the float entry and quantizes exactly on the u8
+    grid.  Requires an s2d tree built by :func:`quantize_yolonet`."""
+    x_q = lax.bitcast_convert_type(u8 ^ jnp.uint8(128), jnp.int8)
+    y = _entry_s2d(q, x_q, "stem4_u8")
+    return _yolonet_tail(q, y)
+
+
 def apply_yolonet_quantized(q: Dict, x: jnp.ndarray):
     """int8 forward: float image in, 3 bf16 raw head outputs (same contract
     as :func:`darknet.apply_yolonet_folded`)."""
     sc = q["scales"]
     x_q = quantize_image(x, sc["image"])
-    use_s2d = "s2d" in q
-
-    if use_s2d:
-        sp = q["s2d"]
-        xp = jnp.pad(x_q, ((0, 0), (1, 3), (1, 3), (0, 0)))
-        xb = D._space_to_depth2(xp)
-        y = _conv_i8(sp["stem"], xb, padding=((0, 0), (0, 0)))
-        y = _conv_i8(sp["down0"], y, stride=2, padding=((1, 1), (1, 1)))
-        r = _conv_i8(sp["res0_1"], y, padding=((0, 0), (0, 0)))
-        # the s2d res add: y and r are in different int8 domains; do the add
-        # in conv's fp epilogue via residual
-        r = _conv_i8(sp["res0_2"], r, padding=((1, 1), (1, 1)),
-                     residual=y,
-                     res_scale=sc["s2d/down0"] / sc["s2d/res0_2"])
-        y = _conv_i8(sp["down1"], r, padding=((1, 0), (1, 0)))
-        start_stage = 1
+    if "s2d" in q:
+        stem_key = "stem4" if "stem4" in q["s2d"] else "stem"
+        y = _entry_s2d(q, x_q, stem_key)
     else:
         y = _conv_i8(q["backbone"]["stem"], x_q)
-        start_stage = 0
+    return _yolonet_tail(q, y)
 
+
+def _yolonet_tail(q: Dict, y: jnp.ndarray):
     routes = []
     qb = q["backbone"]
     n_stages = sum(1 for k in qb if k.startswith("stage"))
