@@ -112,15 +112,21 @@ std::vector<Taps> make_taps(int src, int dst) {
   return taps;
 }
 
-// Letterbox uint8 RGB [h, w, 3] into float32 [out_h, out_w, 3] in [0, 1].
-void letterbox(const uint8_t* src, int w, int h, float* dst, int out_w,
-               int out_h) {
+// Letterbox uint8 RGB [h, w, 3].  fdst (float32 [out_h, out_w, 3] in [0,1])
+// or udst (uint8 [out_h, out_w, 3], cv2 pixel semantics) — exactly one is
+// non-null.  The uint8 form is the int8 serving path's native feed
+// (models/quantized.py u8 entry): 4x less host->device transfer.
+void letterbox(const uint8_t* src, int w, int h, float* fdst, uint8_t* udst,
+               int out_w, int out_h) {
   double ratio = std::min(double(out_w) / w, double(out_h) / h);
   int rw = int(w * ratio), rh = int(h * ratio);
   int xp = (out_w - rw) / 2, yp = (out_h - rh) / 2;
 
-  const float kPad = 128.f / 255.f;
-  std::fill(dst, dst + size_t(out_w) * out_h * 3, kPad);
+  if (fdst) {
+    std::fill(fdst, fdst + size_t(out_w) * out_h * 3, 128.f / 255.f);
+  } else {
+    std::fill(udst, udst + size_t(out_w) * out_h * 3, uint8_t(128));
+  }
 
   std::vector<Taps> tx = make_taps(w, rw), ty = make_taps(h, rh);
 
@@ -138,15 +144,20 @@ void letterbox(const uint8_t* src, int w, int h, float* dst, int out_w,
       }
     }
   }
-  // vertical pass into the padded canvas, normalized + clipped
+  // vertical pass into the padded canvas
   for (int y = 0; y < rh; ++y) {
     const Taps& t = ty[y];
-    float* drow = dst + (size_t(y + yp) * out_w + xp) * 3;
+    size_t off = (size_t(y + yp) * out_w + xp) * 3;
     for (int x = 0; x < rw * 3; ++x) {
       float v = 0.f;
       for (int k = 0; k < 4; ++k)
         v += t.w[k] * tmp[size_t(t.idx[k]) * rw * 3 + x];
-      drow[x] = std::min(std::max(v / 255.f, 0.f), 1.f);
+      if (fdst) {
+        fdst[off + x] = std::min(std::max(v / 255.f, 0.f), 1.f);
+      } else {
+        udst[off + x] =
+            uint8_t(std::min(std::max(int(v + 0.5f), 0), 255));
+      }
     }
   }
 }
@@ -159,13 +170,15 @@ struct Job {
   int64_t tag;
   std::string path;
   int out_w, out_h;
+  int fmt;  // 0 = float32 [0,1], 1 = uint8
 };
 
 struct Result {
   int64_t tag;
   int status;  // 0 ok, <0 error
   int org_w, org_h;
-  std::vector<float> pixels;  // [out_h, out_w, 3]
+  std::vector<float> pixels;       // [out_h, out_w, 3] when fmt == 0
+  std::vector<uint8_t> pixels_u8;  // [out_h, out_w, 3] when fmt == 1
 };
 
 struct Loader {
@@ -217,9 +230,15 @@ struct Loader {
           if (decode_jpeg(bytes.data(), bytes.size(), &rgb, &w, &h)) {
             res.org_w = w;
             res.org_h = h;
-            res.pixels.resize(size_t(job.out_w) * job.out_h * 3);
-            letterbox(rgb.data(), w, h, res.pixels.data(), job.out_w,
-                      job.out_h);
+            if (job.fmt == 1) {
+              res.pixels_u8.resize(size_t(job.out_w) * job.out_h * 3);
+              letterbox(rgb.data(), w, h, nullptr, res.pixels_u8.data(),
+                        job.out_w, job.out_h);
+            } else {
+              res.pixels.resize(size_t(job.out_w) * job.out_h * 3);
+              letterbox(rgb.data(), w, h, res.pixels.data(), nullptr,
+                        job.out_w, job.out_h);
+            }
             res.status = 0;
           } else {
             res.status = -2;  // not a decodable jpeg
@@ -249,7 +268,18 @@ void yolodata_submit(void* h, int64_t tag, const char* path, int out_w,
   Loader* ldr = static_cast<Loader*>(h);
   {
     std::lock_guard<std::mutex> lk(ldr->mu);
-    ldr->jobs.push_back(Job{tag, path, out_w, out_h});
+    ldr->jobs.push_back(Job{tag, path, out_w, out_h, /*fmt=*/0});
+  }
+  ldr->cv_job.notify_one();
+}
+
+// fmt: 0 = float32 in [0,1], 1 = uint8 (read back with yolodata_next_u8)
+void yolodata_submit_fmt(void* h, int64_t tag, const char* path, int out_w,
+                         int out_h, int fmt) {
+  Loader* ldr = static_cast<Loader*>(h);
+  {
+    std::lock_guard<std::mutex> lk(ldr->mu);
+    ldr->jobs.push_back(Job{tag, path, out_w, out_h, fmt});
   }
   ldr->cv_job.notify_one();
 }
@@ -273,6 +303,27 @@ int yolodata_next(void* h, int64_t* tag, float* out, int out_capacity,
   if (res.status == 0) {
     if (int(res.pixels.size()) > out_capacity) return -3;
     std::memcpy(out, res.pixels.data(), res.pixels.size() * sizeof(float));
+  }
+  return res.status;
+}
+
+// uint8 variant: pops results submitted with fmt=1.
+int yolodata_next_u8(void* h, int64_t* tag, uint8_t* out, int out_capacity,
+                     int* org_w, int* org_h) {
+  Loader* ldr = static_cast<Loader*>(h);
+  Result res;
+  {
+    std::unique_lock<std::mutex> lk(ldr->mu);
+    ldr->cv_res.wait(lk, [ldr] { return !ldr->results.empty(); });
+    res = std::move(ldr->results.front());
+    ldr->results.pop_front();
+  }
+  *tag = res.tag;
+  *org_w = res.org_w;
+  *org_h = res.org_h;
+  if (res.status == 0) {
+    if (int(res.pixels_u8.size()) > out_capacity) return -3;
+    std::memcpy(out, res.pixels_u8.data(), res.pixels_u8.size());
   }
   return res.status;
 }

@@ -69,6 +69,39 @@ class TestDetectorE2E:
         )(det2.params, x, org)
         assert out.shape == (3, cfg.max_detections, 8)
 
+    def test_int8_u8_feed(self, rng):
+        """precision="int8" with host preprocessing feeds uint8 images
+        straight into the quantized net (no float batch, 4x less transfer);
+        the detections keep the output contract and agree with the
+        float-feed int8 path on the top detection."""
+        cfg = YoloConfig(num_classes=2, img_dim=160, pre_nms_topk=128,
+                         max_detections=32)
+        params, state = D.init_yolonet(jax.random.PRNGKey(0), num_classes=2,
+                                       blocks=(1, 1, 1, 1, 1))
+        det_u8 = Detector(params, state, cfg, precision="int8",
+                          resize_on_device=False)
+        assert det_u8._u8_feed
+        imgs = [rng.integers(0, 255, (100, 140, 3), dtype=np.uint8)
+                for _ in range(2)]
+        x, _ = det_u8.preprocess(imgs)
+        assert x.dtype == jnp.uint8
+        res = det_u8.detect(imgs, conf_thr=0.3)
+        assert len(res) == 2 and all(r.shape[1] == 7 for r in res)
+
+        det_f = Detector(params, state, cfg, precision="int8",
+                         resize_on_device=False)
+        det_f._u8_feed = False
+        from yolo_v3_tpu.models import quantized as Q
+
+        det_f._apply_fn = Q.apply_yolonet_quantized
+        res_f = det_f.detect(imgs, conf_thr=0.3)
+        for a, b in zip(res, res_f):
+            if len(a) and len(b):
+                # same top class; positions within a few pixels (paths
+                # differ only in input quantization grid)
+                assert a[0][0] == b[0][0]
+                np.testing.assert_allclose(a[0][1:5], b[0][1:5], atol=8.0)
+
     def test_viz_smoke(self, det2, rng, tmp_path):
         from yolo_v3_tpu.viz.draw import save_detections_image, show_img_grid
 

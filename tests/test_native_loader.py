@@ -47,6 +47,24 @@ class TestNativeLoader:
             assert np.abs(out[i] - want).mean() < 0.01
             assert np.all(np.abs(out[i] - want) < 0.12)
 
+    def test_u8_mode_matches_float_mode(self, jpegs):
+        """uint8 output (the int8 serving feed) is the float output's pixel
+        values rounded to the u8 grid; pad region exactly 128."""
+        paths, _ = jpegs
+        with NativePrefetcher(n_threads=2, dtype="uint8") as pf:
+            out8, orgs8, ok8 = pf.load_letterboxed(paths, (416, 416))
+        with NativePrefetcher(n_threads=2) as pf:
+            outf, orgsf, okf = pf.load_letterboxed(paths, (416, 416))
+        assert all(ok8) and all(okf)
+        assert out8.dtype == np.uint8
+        np.testing.assert_array_equal(orgs8, orgsf)
+        # same cubic math, one extra rounding step
+        diff = np.abs(out8.astype(np.float32) - outf * 255.0)
+        assert diff.max() <= 0.5 + 1e-3
+        # letterbox pad rows are exactly gray-128 (im0 is 120x160 ->
+        # rh=312, yp=52)
+        assert np.all(out8[0][:52] == 128)
+
     def test_missing_and_invalid_files(self, jpegs, tmp_path):
         paths, _ = jpegs
         bad = str(tmp_path / "not_a_jpeg.jpg")

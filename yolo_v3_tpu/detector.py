@@ -51,10 +51,12 @@ def detect_fn(
     int8 path); the default is the BN-folded float forward.
     """
     img_dim = x.shape[1]
+    # uint8 feed (int8 serving path): the apply_fn consumes raw u8 images
+    xa = x if x.dtype == jnp.uint8 else x.astype(compute_dtype)
     if apply_fn is None:
-        raws = D.apply_yolonet_folded(params, x.astype(compute_dtype))
+        raws = D.apply_yolonet_folded(params, xa)
     else:
-        raws = apply_fn(params, x.astype(compute_dtype))
+        raws = apply_fn(params, xa)
     res = postprocess_from_raws(
         raws, config, img_dim,
         conf_thr=conf_thr, nms_thr=nms_thr,
@@ -96,6 +98,7 @@ class Detector:
         self.precision = precision
         self.compute_dtype = jnp.bfloat16 if precision != "fp32" else jnp.float32
         self._apply_fn = None
+        self._u8_feed = False
         if precision == "int8":
             from yolo_v3_tpu.models import quantized as Q
 
@@ -110,6 +113,12 @@ class Detector:
             self.params = Q.build_quantized(params, state, calib)
             self._apply_fn = Q.apply_yolonet_quantized
             self.compute_dtype = jnp.float32  # image quantized inside
+            if not resize_on_device:
+                # host preprocess keeps images in uint8 (cv2's native
+                # letterbox domain) and the net consumes them directly:
+                # 4x less host->device transfer, exact u8-grid quantization
+                self._u8_feed = True
+                self._apply_fn = Q.apply_yolonet_quantized_u8
         else:
             folded = D.fold_space_to_depth(D.fold_batchnorm(params, state))
             self.params = D.cast_params(folded, self.compute_dtype)
@@ -189,9 +198,17 @@ class Detector:
                     [letterbox_device(jnp.asarray(im), (dim, dim)) for im in images]
                 )
             else:
-                batch = jnp.stack(
-                    [jnp.asarray(letterbox_host(im, (dim, dim))) for im in images]
-                )
+                from yolo_v3_tpu.ops.letterbox import letterbox_host_u8
+
+                if self._u8_feed:
+                    batch = jnp.asarray(np.stack(
+                        [letterbox_host_u8(im, (dim, dim)) for im in images]
+                    ))
+                else:
+                    batch = jnp.stack(
+                        [jnp.asarray(letterbox_host(im, (dim, dim)))
+                         for im in images]
+                    )
         else:
             if self.resize_on_device:
                 from yolo_v3_tpu.ops.letterbox import resize_cubic_device
@@ -207,13 +224,17 @@ class Detector:
             else:
                 import cv2
 
-                batch = jnp.stack([
-                    jnp.asarray(
-                        cv2.resize(im, (dim, dim), interpolation=cv2.INTER_CUBIC)
-                        .astype(np.float32) / 255.0
-                    )
+                resized = [
+                    cv2.resize(im, (dim, dim), interpolation=cv2.INTER_CUBIC)
                     for im in images
-                ])
+                ]
+                if self._u8_feed:
+                    batch = jnp.asarray(np.stack(resized))
+                else:
+                    batch = jnp.stack([
+                        jnp.asarray(r.astype(np.float32) / 255.0)
+                        for r in resized
+                    ])
         return batch, jnp.asarray(org)
 
     def detect(

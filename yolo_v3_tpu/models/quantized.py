@@ -290,7 +290,9 @@ def quantize_yolonet(folded: Dict, stats: Dict[str, np.ndarray]) -> Dict:
         if i >= 2:
             route_keys.append(prev)
     q["backbone"] = qb
-    q["route_keys"] = tuple(route_keys)
+    # scales of the three route tensors (c3, c4, c5), as float leaves — the
+    # tree must stay jittable as a traced argument (no string leaves)
+    q["route_scales"] = tuple(sc[k] for k in route_keys)
 
     def qhead(hname, in_key):
         hp = folded[hname]
@@ -420,7 +422,7 @@ def _yolonet_tail(q: Dict, y: jnp.ndarray):
         if i >= 2:
             routes.append(y)
     c3, c4, c5 = routes
-    k3, k4, k5 = q["route_keys"]
+    s_c3, s_c4, _ = q["route_scales"]
 
     def head(hq, x_q):
         y = x_q
@@ -436,13 +438,13 @@ def _yolonet_tail(q: Dict, y: jnp.ndarray):
     y = _conv_i8(q["up0"]["conv"], br0)
     y = jnp.concatenate([
         _requant(D.upsample2x_nearest(y), sc_["up0/conv"], sc_["concat1"]),
-        _requant(c4, sc_[k4], sc_["concat1"]),
+        _requant(c4, s_c4, sc_["concat1"]),
     ], axis=-1)
     det1, br1 = head(q["head1"], y)
     y = _conv_i8(q["up1"]["conv"], br1)
     y = jnp.concatenate([
         _requant(D.upsample2x_nearest(y), sc_["up1/conv"], sc_["concat2"]),
-        _requant(c3, sc_[k3], sc_["concat2"]),
+        _requant(c3, s_c3, sc_["concat2"]),
     ], axis=-1)
     det2, _ = head(q["head2"], y)
     return det0, det1, det2

@@ -96,10 +96,12 @@ def letterbox_device(img: jnp.ndarray, out_dim: Tuple[int, int]) -> jnp.ndarray:
     return jax.lax.dynamic_update_slice(canvas, resized, (yp, xp, 0))
 
 
-def letterbox_host(img: np.ndarray, out_dim: Tuple[int, int]) -> np.ndarray:
-    """Host letterbox with OpenCV INTER_CUBIC (reference utils.py:44-56
-    pixel semantics: resize uint8, paste onto gray-128 canvas, then
-    normalize)."""
+def letterbox_host_u8(img: np.ndarray, out_dim: Tuple[int, int]) -> np.ndarray:
+    """Host letterbox with OpenCV INTER_CUBIC, kept in uint8 (reference
+    utils.py:44-56 pixel semantics: resize uint8, paste onto gray-128
+    canvas).  This IS the reference's pre-normalization image — the int8
+    serving path feeds it directly (models/quantized.py u8 entry) without
+    ever materializing floats."""
     import cv2
 
     out_w, out_h = out_dim
@@ -109,4 +111,9 @@ def letterbox_host(img: np.ndarray, out_dim: Tuple[int, int]) -> np.ndarray:
     canvas[yp:yp + rh, xp:xp + rw] = cv2.resize(
         img, (rw, rh), interpolation=cv2.INTER_CUBIC
     )
-    return canvas.astype(np.float32) / 255.0
+    return canvas
+
+
+def letterbox_host(img: np.ndarray, out_dim: Tuple[int, int]) -> np.ndarray:
+    """Host letterbox, normalized float32 (reference's ToTensor semantics)."""
+    return letterbox_host_u8(img, out_dim).astype(np.float32) / 255.0
