@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--batches", type=int, default=20)
     ap.add_argument("--workers", type=int, nargs="+", default=[0, 2, 4])
+    ap.add_argument("--native-threads", type=int, nargs="+", default=[2, 4, 8],
+                    help="also bench the C++ decode+augment path "
+                         "(data/native_aug.py) at these thread counts")
     args = ap.parse_args()
 
     from yolo_v3_tpu.data.datasets import ListDataset
@@ -64,12 +67,13 @@ def main():
     from yolo_v3_tpu.data import transforms as T
 
     lst = args.train_list or synthetic_list()
-    for nw in args.workers:
+
+    def run(tag, **dh_kw):
         ds = ListDataset(lst, trans_fn=lambda d: T.training_transform(d))
         sampler = CyclicSampler(len(ds), args.batch, seed=0,
                                 dim=(args.dim, args.dim))
         dh = DataHelper(ds, sampler, max_batches=args.batches, prefetch=2,
-                        num_workers=nw)
+                        **dh_kw)
         it = iter(dh)
         next(it)  # warm the pool
         t0 = time.perf_counter()
@@ -78,9 +82,16 @@ def main():
             n += 1
         dt = time.perf_counter() - t0
         rate = (n - 1) * args.batch / dt
-        print(f"workers={nw}: {rate:8.1f} imgs/sec assembled "
+        print(f"{tag}: {rate:8.1f} imgs/sec assembled "
               f"({dt / (n - 1) * 1e3:.1f} ms/batch{args.batch})")
         dh.close()
+
+    for nw in args.workers:
+        run(f"python workers={nw}", num_workers=nw)
+    from yolo_v3_tpu.data.native_loader import native_available
+    if native_available():
+        for nt in args.native_threads:
+            run(f"native threads={nt}", native_threads=nt)
 
     print("\ncompare against the device step rate (bench.py "
           "train_imgs_per_sec_<dim>): the pipeline feeds the step when "

@@ -124,7 +124,9 @@ def cmd_train(args):
         rand_dim_interval=max(8, args.batch_size * args.subdivisions),
     )
     data = DataHelper(ds, sampler, max_net_batches=args.max_net_batches,
-                      net_subdivisions=args.subdivisions)
+                      net_subdivisions=args.subdivisions,
+                      num_workers=args.num_workers,
+                      native_threads=args.native_threads)
 
     params, state = D.init_yolonet(jax.random.PRNGKey(args.seed), cfg.num_classes)
     if args.backbone_weights:
@@ -240,6 +242,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--jitter", type=float, default=0.3)
     t.add_argument("--extra-aug", action="store_true",
                    help="extra photometric augmentation bank")
+    t.add_argument("--num-workers", type=int, default=0,
+                   help="multiprocess Python sample-assembly workers")
+    t.add_argument("--native-threads", type=int, default=0,
+                   help="C++ decode+augment threads (data/native_aug.py); "
+                        "takes precedence over --num-workers when the "
+                        "transform chain is native-compatible")
     t.set_defaults(fn=cmd_train)
 
     w = sub.add_parser("weights", help="weight file tools")

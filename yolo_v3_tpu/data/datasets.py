@@ -77,6 +77,16 @@ class ListDataset:
             sample = self.trans_fn(dim)(sample)
         return sample
 
+    def raw_entry(self, base_idx: int):
+        """(img_path, label rows) without decoding the image — the native
+        C++ augmentation path decodes and augments off the GIL
+        (data/native_aug.py)."""
+        label = None
+        lp = self.label_list[base_idx]
+        if osp.exists(lp):
+            label = np.loadtxt(lp).reshape(-1, 5).astype(np.float32)
+        return self.img_list[base_idx], label
+
 
 # Backwards-friendly alias matching the reference class name.
 COCODataset = ListDataset

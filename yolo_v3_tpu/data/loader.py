@@ -94,6 +94,7 @@ class DataHelper:
         host_id: int = 0,
         n_hosts: int = 1,
         num_workers: int = 0,
+        native_threads: int = 0,
     ):
         """``host_id``/``n_hosts`` shard each (deterministically scheduled)
         batch across hosts for multi-host data parallelism: every host runs
@@ -115,7 +116,11 @@ class DataHelper:
         self.prefetch = prefetch
         self.drop_keys = drop_keys
         self.num_workers = num_workers
+        self.native_threads = native_threads
         self._pool = None
+        self._native = None
+        self._native_disabled = native_threads <= 0
+        self._spec_cache: Dict[Any, Any] = {}
 
         if max_net_batches is not None:
             self.max_net_batches = max_net_batches
@@ -141,11 +146,14 @@ class DataHelper:
         return self._pool
 
     def close(self) -> None:
-        """Shut down the worker pool (idempotent)."""
+        """Shut down the worker pool / native loader (idempotent)."""
         if self._pool is not None:
             self._pool.terminate()
             self._pool.join()
             self._pool = None
+        if self._native is not None:
+            self._native.close()
+            self._native = None
 
     def __del__(self):
         try:
@@ -153,8 +161,52 @@ class DataHelper:
         except Exception:
             pass
 
+    def _native_assemble(self, tasks) -> Optional[Dict[str, Any]]:
+        """Assemble a batch on the C++ decode+augment pool
+        (data/native_aug.py) — bit-identical labels/randomness to the
+        Python path.  Returns None (and disables itself where the cause is
+        permanent) when the dataset/transform/toolchain can't take the
+        native path; non-JPEG samples fall back individually."""
+        if self._native_disabled:
+            return None
+        ds = self.dataset
+        if not hasattr(ds, "raw_entry") or getattr(ds, "trans_fn", None) is None:
+            self._native_disabled = True
+            return None
+        if len({t[1] for t in tasks}) != 1:
+            return None  # mixed dims in one shard: not by construction, bail
+        dim = tasks[0][1]
+        from yolo_v3_tpu.data import native_aug as NA
+
+        if dim not in self._spec_cache:
+            self._spec_cache[dim] = NA.compile_transform(ds.trans_fn(dim))
+        spec = self._spec_cache[dim]
+        if spec is None:
+            self._native_disabled = True  # not the darknet training chain
+            return None
+        if self._native is None:
+            try:
+                self._native = NA.NativeAugLoader(self.native_threads)
+            except RuntimeError:  # toolchain/libjpeg unavailable
+                self._native_disabled = True
+                return None
+        entries = [ds.raw_entry(t[0]) for t in tasks]
+        samples, ok = self._native.load_batch(
+            [e[0] for e in entries], [e[1] for e in entries],
+            [t[2] for t in tasks], dim, spec,
+        )
+        keep = ("img", "label", "lb_reverter", "img_path")
+        for i, (base_idx, d, seed) in enumerate(tasks):
+            if not ok[i]:
+                s = ds.get(base_idx, d, seed)
+                samples[i] = {k: s.get(k) for k in keep}
+        return collate(samples)
+
     def _assemble(self, positions: List[int]) -> Dict[str, Any]:
         tasks = [self.sampler.schedule(pos) for pos in positions]
+        batch = self._native_assemble(tasks)
+        if batch is not None:
+            return batch
         pool = self._get_pool()
         if pool is not None:
             samples = pool.map(_pool_get, tasks, chunksize=1)

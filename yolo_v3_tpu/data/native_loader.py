@@ -78,6 +78,30 @@ def _build_and_load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
+        # training-augmentation two-phase flow (native/yolodata.cc)
+        lib.yolodata_submit_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p,
+        ]
+        lib.yolodata_next_decoded.restype = ctypes.c_int
+        lib.yolodata_next_decoded.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.yolodata_submit_aug.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.yolodata_drop_held.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.yolodata_augment_buffer.restype = ctypes.c_int
+        lib.yolodata_augment_buffer.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return lib
 
