@@ -196,6 +196,35 @@ def _stem4_weights(stem_w, stem_b) -> Tuple[np.ndarray, np.ndarray]:
     return w4, np.tile(stem_b, 16)
 
 
+def _down0_4_weights(w) -> np.ndarray:
+    """Remap down0 (3x3/2 conv, reference darknet.py:59's first downsample)
+    to read the 4x4-block stem output DIRECTLY: [3,3,cin,cout] ->
+    [2,2,16*cin,4*cout], stride 1, block-space padding (1,0).
+
+    Input channel order (dy,dx,c) over 4x4 blocks at H/4 grid; output
+    (by,bx,o) over 2x2 blocks at H/4 grid (= the layout ``down0`` produced
+    after :func:`_repack_s2d4_to_s2d2`).  This deletes the repack — a
+    ~354 MB int8 depth-to-space transpose XLA materializes (~9.5 ms at
+    bs64/416) — at the cost of a 7.1x zero-padded kernel that still runs
+    at MXU rates (K=512 full lanes).  Bit-identical to repack+down0: the
+    gathered int8 values and per-output-channel scales are unchanged."""
+    w = np.asarray(w, np.float32)
+    cin, cout = w.shape[2], w.shape[3]
+    out = np.zeros((2, 2, 16 * cin, 4 * cout), np.float32)
+    for by in range(2):
+        for bx in range(2):
+            co = (by * 2 + bx) * cout
+            for u in range(3):
+                for v in range(3):
+                    t = 2 * by + u - 1      # row offset from 4*I (orig 416^2)
+                    s = 2 * bx + v - 1
+                    kI, dy = t // 4 + 1, t % 4   # t=-1 -> tap 0 of block I-1
+                    kJ, dx = s // 4 + 1, s % 4
+                    ci = (dy * 4 + dx) * cin
+                    out[kI, kJ, ci:ci + cin, co:co + cout] = w[u, v]
+    return out
+
+
 def _space_to_depth4(x: jnp.ndarray) -> jnp.ndarray:
     """[B, 4H, 4W, C] -> [B, H, W, 16C] with (by, bx, c) channel order."""
     b, h, w, c = x.shape
@@ -255,6 +284,17 @@ def quantize_yolonet(folded: Dict, stats: Dict[str, np.ndarray]) -> Dict:
             "b": jnp.asarray(b4 / s_out + zp),
         }
         qs["down0"] = _qconv(sp["down0"], sc["s2d/stem"], sc["s2d/down0"])
+        # down0 gathered to consume the 4x4-block stem output directly
+        # (skips the repack transpose); same original weights -> same
+        # per-channel scales -> bit-identical to repack+down0.
+        w0q, s0w = _quant_w(_down0_4_weights(p["stage0"]["down"]["w"]))
+        qs["down0_4"] = {
+            "w": w0q,
+            "m": jnp.asarray(sc["s2d/stem"] * s0w / sc["s2d/down0"]),
+            "b": jnp.asarray(
+                np.tile(np.asarray(p["stage0"]["down"]["b"], np.float32), 4)
+                / sc["s2d/down0"]),
+        }
         qs["res0_1"] = _qconv(sp["res0_1"], sc["s2d/down0"], sc["s2d/res0_1"])
         qs["res0_2"] = _qconv(sp["res0_2"], sc["s2d/res0_1"], sc["s2d/res0_2"])
         qs["down1"] = _qconv(sp["down1"], sc["s2d/res0_2"], sc["s2d/down1"])
@@ -366,11 +406,16 @@ def _entry_s2d(q: Dict, x_q: jnp.ndarray, stem_key: str) -> jnp.ndarray:
     if stem_key == "stem":
         xb = D._space_to_depth2(xp)
         y = _conv_i8(sp["stem"], xb, padding=((0, 0), (0, 0)))
+        y = _conv_i8(sp["down0"], y, stride=2, padding=((1, 1), (1, 1)))
     else:
         xb = _space_to_depth4(xp)
         y4 = _conv_i8(sp[stem_key], xb, padding=((0, 0), (0, 0)))
-        y = _repack_s2d4_to_s2d2(y4)
-    y = _conv_i8(sp["down0"], y, stride=2, padding=((1, 1), (1, 1)))
+        if "down0_4" in sp:
+            # down0 reads the 4x4-block stem output directly — no repack
+            y = _conv_i8(sp["down0_4"], y4, padding=((1, 0), (1, 0)))
+        else:
+            y = _repack_s2d4_to_s2d2(y4)
+            y = _conv_i8(sp["down0"], y, stride=2, padding=((1, 1), (1, 1)))
     r = _conv_i8(sp["res0_1"], y, padding=((0, 0), (0, 0)))
     # the s2d res add: y and r are in different int8 domains; do the add
     # in conv's fp epilogue via residual
