@@ -69,12 +69,17 @@ def nms_fixed(
     scores: jnp.ndarray,
     nms_thr: float,
     max_detections: int,
+    presorted: bool = True,
 ) -> tuple:
     """Exact greedy NMS over K fixed candidates, TPU-style.
 
     ``boxes_xyxy`` [K, 4] (already class-offset if class-wise), ``scores``
-    [K] sorted descending with invalid candidates at 0.  Returns
-    (indices [M], valid [M]) in descending score order.
+    [K] with invalid candidates at 0.  With ``presorted=False`` the scores
+    need not be sorted: the suppression mask uses the priority relation
+    (higher score wins; ties break to the lower index) directly, which is
+    exactly greedy NMS over the stable score-descending order — callers
+    can skip a global sort, and the returned selection is still in
+    descending score order.  Returns (indices [M], valid [M]).
 
     Instead of an M-step sequential selection loop (slow on TPU: argmax +
     gather per step), this runs fixpoint iteration on the greedy recurrence
@@ -92,7 +97,14 @@ def nms_fixed(
 
     iou = B.iou_matrix(boxes_xyxy, boxes_xyxy)
     idx = jnp.arange(k)
-    upper = idx[:, None] < idx[None, :]            # j < i pairs (j rows)
+    lower_idx = idx[:, None] < idx[None, :]        # j < i pairs (j rows)
+    if presorted:
+        upper = lower_idx
+    else:
+        # priority(j) > priority(i): score desc, ties to the lower index —
+        # the same relation a stable descending sort would induce
+        s_j, s_i = scores[:, None], scores[None, :]
+        upper = (s_j > s_i) | ((s_j == s_i) & lower_idx)
     overlap = upper & (iou > nms_thr)              # j suppresses i candidates
 
     def cond(carry):
@@ -317,17 +329,21 @@ def _postprocess_fast_display(raws, config, img_dim, conf_thr, nms_thr,
     cls = jnp.concatenate(cls_l, axis=1)
     obj = jnp.concatenate(obj_l, axis=1)
 
-    # nms_fixed requires descending score order; sort the (small) merged set
     k = score.shape[1]
-    score, perm = jax.lax.top_k(score, k)
-    boxes = jnp.take_along_axis(boxes, perm[..., None], axis=1)
-    cls = jnp.take_along_axis(cls, perm, axis=1)
-    obj = jnp.take_along_axis(obj, perm, axis=1)
+    if not use_nms:
+        # the no-NMS branch takes the first M rows, which must be the
+        # best M — sort the (small) merged set
+        score, perm = jax.lax.top_k(score, k)
+        boxes = jnp.take_along_axis(boxes, perm[..., None], axis=1)
+        cls = jnp.take_along_axis(cls, perm, axis=1)
+        obj = jnp.take_along_axis(obj, perm, axis=1)
 
     def per_image(boxes_i, score_i, cls_i, obj_i):
         if use_nms:
+            # order-free NMS: the priority mask replaces the global sort
             shifted = boxes_i + (cls_i * _CLASS_OFFSET)[:, None]
-            sel, valid = nms_fixed(shifted, score_i, nms_thr, m)
+            sel, valid = nms_fixed(shifted, score_i, nms_thr, m,
+                                   presorted=False)
         else:
             m_eff = min(m, k)
             sel = jnp.arange(m_eff, dtype=jnp.int32)
