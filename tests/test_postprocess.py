@@ -214,3 +214,31 @@ class TestApproxTopK:
                                        is_eval=True, approx_topk=True)
         for a, b in zip(detections_to_lists(exact), detections_to_lists(approx)):
             assert rows_set(a) == rows_set(b)
+
+
+class TestOrderFreeNMS:
+    """nms_fixed(presorted=False) must equal sorted nms_fixed exactly."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_unsorted_equals_sorted(self, seed):
+        from yolo_v3_tpu.ops.postprocess import nms_fixed
+
+        rng = np.random.default_rng(seed)
+        k, m = 96, 32
+        boxes = rng.uniform(0, 100, (k, 4)).astype(np.float32)
+        boxes[:, 2:] = boxes[:, :2] + rng.uniform(5, 60, (k, 2))
+        scores = rng.uniform(0, 1, (k,)).astype(np.float32)
+        scores[rng.uniform(size=k) < 0.3] = 0.0     # invalid rows
+        scores[10] = scores[20] = 0.77              # exercise the tie-break
+
+        order = np.argsort(-scores, kind="stable")
+        sel_s, val_s = nms_fixed(jnp.asarray(boxes[order]),
+                                 jnp.asarray(scores[order]), 0.4, m)
+        sel_u, val_u = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                                 0.4, m, presorted=False)
+        np.testing.assert_array_equal(np.asarray(val_s), np.asarray(val_u))
+        # same detections in the same output order (map sorted-domain
+        # indices back to original rows)
+        got_s = order[np.asarray(sel_s)][np.asarray(val_s)]
+        got_u = np.asarray(sel_u)[np.asarray(val_u)]
+        np.testing.assert_array_equal(got_s, got_u)
