@@ -48,7 +48,8 @@ def build_dataset(root):
             + 80 * np.sin(xx / (20 + i % 17) + i)
             + 60 * np.cos(yy / (15 + i % 13))
         )
-        img = np.stack([base, np.roll(base, i % 7, 0), base.T[:480, :640]], -1)
+        img = np.stack([base, np.roll(base, i % 7, 0),
+                        np.roll(base, -(i % 11), 1)], -1)
         img += rng.normal(0, 12, img.shape)
         img = np.clip(img, 0, 255).astype(np.uint8)
         p = os.path.join(img_dir, f"img_{i:06d}.jpg")
@@ -68,11 +69,12 @@ def build_dataset(root):
     return list_file
 
 
-def measure(list_file, num_workers, dim=416):
+def measure(list_file, num_workers, dim=416, native_threads=0):
     ds = ListDataset(list_file, trans_fn=lambda d: T.training_transform(d))
     sampler = CyclicSampler(len(ds.img_list), BS, dim=(dim, dim), seed=1)
     helper = DataHelper(ds, sampler, max_batches=N_BATCHES + 2,
-                        num_workers=num_workers, prefetch=0)
+                        num_workers=num_workers, prefetch=0,
+                        native_threads=native_threads)
     it = iter(helper)
     next(it)  # warm the pool
     t0 = time.perf_counter()
@@ -90,9 +92,13 @@ def main():
     with tempfile.TemporaryDirectory() as root:
         list_file = build_dataset(root)
         print(f"host cpus: {os.cpu_count()}")
-        for w in (0, 4, 8, 16):
+        for w in (0, 4, 8):
             ips = measure(list_file, w)
             print(f"workers={w:2d}: {ips:7.1f} imgs/sec "
+                  f"({1000 * BS / ips:6.1f} ms/batch{BS})", flush=True)
+        for nt in (2, 4, 8):
+            ips = measure(list_file, 0, native_threads=nt)
+            print(f"native={nt:2d}: {ips:7.1f} imgs/sec "
                   f"({1000 * BS / ips:6.1f} ms/batch{BS})", flush=True)
 
 
