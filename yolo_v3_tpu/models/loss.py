@@ -136,24 +136,35 @@ def build_targets_single(
     flat_win = jnp.zeros((nA * nH * nW,), jnp.int32).at[cell].max(order)
     winner = flat_win.reshape(nA, nH, nW)
     has = winner > 0
-    tsel = jnp.maximum(winner - 1, 0)
 
-    def fill(vals):
-        return jnp.where(has, vals[tsel], 0.0)
+    # Gather the winning GT's values via ONE one-hot contraction instead of
+    # per-field [T]-table gathers (which lower to pathological per-element
+    # loops on TPU: 6 gathers measured 6.5 ms/step at bs16/416 vs ~0.3 ms
+    # for the matmul).  sel[n, t] == 1 iff GT t won cell n; rows of
+    # unassigned cells are all-zero, so the product also applies the
+    # ``where(has, ., 0)`` for free.  Exact: 0/1 float32 times float32.
+    sel = (flat_win[:, None]
+           == (jnp.arange(T, dtype=jnp.int32) + 1)[None, :])      # [N, T]
+    vals = jnp.concatenate(
+        [
+            jnp.stack([coord_w, t_x, t_y, t_w, t_h], axis=-1),    # [T, 5]
+            jax.nn.one_hot(gcls, num_classes),                    # [T, C]
+        ],
+        axis=-1,
+    )
+    gathered = jnp.dot(sel.astype(jnp.float32), vals,
+                       preferred_element_type=jnp.float32)        # [N, 5+C]
+    gathered = gathered.reshape(nA, nH, nW, 5 + num_classes)
 
     tgt = {
         "obj": has.astype(jnp.float32),
-        "coord": fill(coord_w),
+        "coord": gathered[..., 0],
         "tconf": has.astype(jnp.float32),
-        "tx": fill(t_x),
-        "ty": fill(t_y),
-        "tw": fill(t_w),
-        "th": fill(t_h),
-        "tcls": jnp.where(
-            has[..., None],
-            jax.nn.one_hot(gcls, num_classes)[tsel],
-            0.0,
-        ),
+        "tx": gathered[..., 1],
+        "ty": gathered[..., 2],
+        "tw": gathered[..., 3],
+        "th": gathered[..., 4],
+        "tcls": gathered[..., 5:],
     }
     return tgt, noobj_mask, n_correct, n_gt
 
