@@ -123,6 +123,17 @@ def main():
         best = max(best, ips_q8)
 
         if batch == 64:
+            # bs128 uint8 feed: the best measured operating point (+1%)
+            xs_u8_128 = [jax.jit(lambda k: jax.random.randint(
+                k, (128, 416, 416, 3), 0, 256, jnp.uint8))(
+                jax.random.PRNGKey(i)) for i in range(2)]
+            _log("int8-u8 e2e bs128")
+            ms_q8l = timeit(full_q8, xs_u8_128)
+            ips_q8l = 128 / ms_q8l * 1e3
+            results["bs128_imgs_per_sec_int8_u8feed"] = round(ips_q8l, 1)
+            results["bs128_ms_per_batch_int8_u8feed"] = round(ms_q8l, 2)
+            best = max(best, ips_q8l)
+
             # reduce raw outputs inside the jit: reading back the 115MB
             # raw tensors through the tunnel would dominate the timing
             _log("bf16 fwd bs64")
@@ -183,6 +194,25 @@ def main():
             ms = (time.perf_counter() - t0) / iters * 1e3
             results[f"train_ms_per_step_bs16_{dim}"] = round(ms, 2)
             results[f"train_imgs_per_sec_{dim}"] = round(B / ms * 1e3, 1)
+
+        # large-batch training point (throughput-optimal on one chip)
+        _log("train step bf16 bs64 dim 416")
+        B64 = 64
+        imgs = jax.jit(lambda k: jax.random.uniform(
+            k, (1, B64, 416, 416, 3), jnp.float32))(jax.random.PRNGKey(1))
+        labels64 = np.zeros((1, B64, config.max_labels, 5), np.float32)
+        labels64[..., :3, :] = [1, 0.5, 0.5, 0.3, 0.3]
+        labels64 = jnp.asarray(labels64)
+        opt_state = tx.init(params)
+        p, s, o, st = step(params, state, opt_state, imgs, labels64)
+        _sync(st)
+        t0 = time.perf_counter()
+        for _ in range(8):
+            p, s, o, st = step(p, s, o, imgs, labels64)
+        _sync(st)
+        ms = (time.perf_counter() - t0) / 8 * 1e3
+        results["train_ms_per_step_bs64_416"] = round(ms, 2)
+        results["train_imgs_per_sec_bs64_416"] = round(B64 / ms * 1e3, 1)
 
     print(json.dumps({
         "metric": "imgs_per_sec_per_chip_yolov3_416_bf16_e2e",
