@@ -266,3 +266,31 @@ def test_quantized_dense_scene_pseudo_map(setup):
         rec = match_rate(w[:k], g)
         f1 = 2 * prec * rec / max(prec + rec, 1e-9)
         assert f1 >= 0.9, (f1, prec, rec, len(w), len(g))
+
+
+def test_quantized_multiscale_apply(setup):
+    """One quantized tree serves any /32 resolution (multi-scale serving,
+    reference evaluate.py's 416 eval vs train-time 320-608 dims): the
+    tree's scales are per-tensor floats and the s2d4 stem/down0 gathers
+    are resolution-independent.  Logits must track the float path at a
+    non-calibration dim as well as they do at the calibration dim."""
+    params, state, x = setup
+    q = Q.build_quantized(params, state, x)
+    folded = D.fold_batchnorm(params, state)
+    rng = np.random.default_rng(11)
+
+    def rel_err(dim):
+        xd = jnp.asarray(rng.uniform(0, 1, (2, dim, dim, 3))
+                         .astype(np.float32))
+        want = D.apply_yolonet_folded(folded, xd)
+        got = jax.jit(lambda v: Q.apply_yolonet_quantized(q, v))(xd)
+        errs = []
+        for g, r in zip(got, want):
+            g = np.asarray(g, np.float32)
+            r = np.asarray(r, np.float32)
+            errs.append(np.abs(g - r).mean() / (np.abs(r).mean() + 1e-9))
+        return max(errs)
+
+    base = rel_err(DIM)          # calibration dim
+    other = rel_err(DIM + 32)    # unseen, larger dim
+    assert other < 2 * base + 0.02, (base, other)
