@@ -534,6 +534,56 @@ def _s2d_3x3_s2_exit_weights(w):
     return out
 
 
+def _stem4_weights(stem_w, stem_b):
+    """Remap the stem conv (3x3/1, reference darknet.py:70's first layer)
+    into the 4x4 space-to-depth domain: [3,3,cin,c1] -> [2,2,16cin,16c1]
+    VALID conv over the (1,3)x(1,3)-padded, 4x4-block-packed image.  K grows
+    to 16cin*4 taps and the output fills 16c1 lanes, so the MXU stops
+    starving on the entry conv (the 2x2-domain stem's K=48 taps ran at a
+    fraction of peak)."""
+    import numpy as np
+
+    stem_w = np.asarray(stem_w, np.float32)            # [3, 3, cin, c1]
+    stem_b = np.asarray(stem_b, np.float32)
+    cin, c1 = stem_w.shape[2], stem_w.shape[3]
+    w4 = np.zeros((2, 2, 16 * cin, 16 * c1), np.float32)
+    for dy in range(4):
+        for dx in range(4):
+            co = (dy * 4 + dx) * c1
+            for u in range(3):
+                for v in range(3):
+                    t, s = dy + u, dx + v              # +1 pad already folded
+                    ci = ((t % 4) * 4 + (s % 4)) * cin
+                    w4[t // 4, s // 4, ci:ci + cin, co:co + c1] = stem_w[u, v]
+    return w4, np.tile(stem_b, 16)
+
+
+def _down0_4_weights(w):
+    """Remap down0 (3x3/2, reference darknet.py:59's first downsample) to
+    read the 4x4-block stem output DIRECTLY: [3,3,cin,cout] ->
+    [2,2,16cin,4cout], stride 1, block-space padding (1,0).  Output layout
+    (by,bx,o) over 2x2 blocks at the H/4 grid — exactly what the 2x2-domain
+    res0 expects — without the s2d4->s2d2 depth-to-space repack XLA would
+    otherwise materialize between stem and down0."""
+    import numpy as np
+
+    w = np.asarray(w, np.float32)
+    cin, cout = w.shape[2], w.shape[3]
+    out = np.zeros((2, 2, 16 * cin, 4 * cout), np.float32)
+    for by in range(2):
+        for bx in range(2):
+            co = (by * 2 + bx) * cout
+            for u in range(3):
+                for v in range(3):
+                    t = 2 * by + u - 1      # row offset from 4*I (input grid)
+                    s = 2 * bx + v - 1
+                    kI, dy = t // 4 + 1, t % 4   # t=-1 -> tap 0, block I-1
+                    kJ, dx = s // 4 + 1, s % 4
+                    ci = (dy * 4 + dx) * cin
+                    out[kI, kJ, ci:ci + cin, co:co + cout] = w[u, v]
+    return out
+
+
 def fold_space_to_depth(folded: Params) -> Params:
     """Add 's2d' remapped weights covering stem + ALL of stage0 + stage1's
     downsample, so every tensor before stage1 has >=128 channels."""
@@ -604,6 +654,14 @@ def _space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h // 2, w // 2, 4 * c)
 
 
+def _space_to_depth4(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, 4H, 4W, C] -> [B, H, W, 16C] with (by, bx, c) channel order."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 4, 4, w // 4, 4, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 4, w // 4, 16 * c)
+
+
 def _conv_s2d(p, x, stride=1, padding=((0, 0), (0, 0))):
     y = lax.conv_general_dilated(
         x, p["w"], (stride, stride), padding,
@@ -623,6 +681,10 @@ def _apply_s2d_entry(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     y = _conv_s2d(sp["stem"], xb)                  # s2d(stem):  [H/2, W/2, 128]
     y = _conv_s2d(sp["down0"], y, stride=2, padding=((1, 1), (1, 1)))
     #                                              # s2d(down0): [H/4, W/4, 256]
+    # NOTE: the 4x4-domain stem + direct down0 (_stem4_weights /
+    # _down0_4_weights) is an int8-only win — it exists to kill the int8
+    # path's s2d4->s2d2 repack transpose.  The bf16 2x2 path has no repack,
+    # so the bigger down0_4 kernel only adds FLOPs (measured +1% here).
     r = _conv_s2d(sp["res0_1"], y)                 #             [H/4, W/4, 128]
     r = _conv_s2d(sp["res0_2"], r, padding=((1, 1), (1, 1)))
     y = y + r                                      # s2d residual add

@@ -171,66 +171,10 @@ def _qconv(p, s_in: float, s_out, leaky_unused=None) -> Dict:
     }
 
 
-def _stem4_weights(stem_w, stem_b) -> Tuple[np.ndarray, np.ndarray]:
-    """Remap the stem conv (3x3/1, 3->32) into the 4x4 space-to-depth domain.
-
-    Input: the image padded (1,3)x(1,3) and 4x4-block-packed to
-    [B, H/4+1, W/4+1, 48]; output [B, H/4, W/4, 512] = the stem activations
-    in 4x4 blocks with (dy, dx, c) channel order.  K grows 12 -> 192 and the
-    output fills 512 lanes, so the MXU stops starving on the entry conv
-    (measured 3.5 ms -> ~0.6 ms at bs64/416; the 2x2-domain stem's K=108 on
-    12 input channels ran at ~22 TOP/s).
-    """
-    stem_w = np.asarray(stem_w, np.float32)            # [3, 3, cin, c1]
-    stem_b = np.asarray(stem_b, np.float32)
-    cin, c1 = stem_w.shape[2], stem_w.shape[3]
-    w4 = np.zeros((2, 2, 16 * cin, 16 * c1), np.float32)
-    for dy in range(4):
-        for dx in range(4):
-            co = (dy * 4 + dx) * c1
-            for u in range(3):
-                for v in range(3):
-                    t, s = dy + u, dx + v              # +1 pad already folded
-                    ci = ((t % 4) * 4 + (s % 4)) * cin
-                    w4[t // 4, s // 4, ci:ci + cin, co:co + c1] = stem_w[u, v]
-    return w4, np.tile(stem_b, 16)
-
-
-def _down0_4_weights(w) -> np.ndarray:
-    """Remap down0 (3x3/2 conv, reference darknet.py:59's first downsample)
-    to read the 4x4-block stem output DIRECTLY: [3,3,cin,cout] ->
-    [2,2,16*cin,4*cout], stride 1, block-space padding (1,0).
-
-    Input channel order (dy,dx,c) over 4x4 blocks at H/4 grid; output
-    (by,bx,o) over 2x2 blocks at H/4 grid (= the layout ``down0`` produced
-    after :func:`_repack_s2d4_to_s2d2`).  This deletes the repack — a
-    ~354 MB int8 depth-to-space transpose XLA materializes (~9.5 ms at
-    bs64/416) — at the cost of a 7.1x zero-padded kernel that still runs
-    at MXU rates (K=512 full lanes).  Bit-identical to repack+down0: the
-    gathered int8 values and per-output-channel scales are unchanged."""
-    w = np.asarray(w, np.float32)
-    cin, cout = w.shape[2], w.shape[3]
-    out = np.zeros((2, 2, 16 * cin, 4 * cout), np.float32)
-    for by in range(2):
-        for bx in range(2):
-            co = (by * 2 + bx) * cout
-            for u in range(3):
-                for v in range(3):
-                    t = 2 * by + u - 1      # row offset from 4*I (orig 416^2)
-                    s = 2 * bx + v - 1
-                    kI, dy = t // 4 + 1, t % 4   # t=-1 -> tap 0 of block I-1
-                    kJ, dx = s // 4 + 1, s % 4
-                    ci = (dy * 4 + dx) * cin
-                    out[kI, kJ, ci:ci + cin, co:co + cout] = w[u, v]
-    return out
-
-
-def _space_to_depth4(x: jnp.ndarray) -> jnp.ndarray:
-    """[B, 4H, 4W, C] -> [B, H, W, 16C] with (by, bx, c) channel order."""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 4, 4, w // 4, 4, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(b, h // 4, w // 4, 16 * c)
+# layout/gather primitives shared with the bf16 folded path
+_stem4_weights = D._stem4_weights
+_down0_4_weights = D._down0_4_weights
+_space_to_depth4 = D._space_to_depth4
 
 
 def _repack_s2d4_to_s2d2(y4: jnp.ndarray) -> jnp.ndarray:
