@@ -72,6 +72,20 @@ class TestCLI:
         ])
         assert os.path.getsize(out_img) > 0
 
+    def test_detect_command_int8(self, tiny_weights, names_file, image_file,
+                                 tmp_path):
+        """The int8 serving path is reachable from the CLI."""
+        from yolo_v3_tpu.cli import main
+
+        _, npath = tiny_weights
+        out_img = str(tmp_path / "out_i8.png")
+        main([
+            "detect", "--image", image_file, "--weights", npath,
+            "--names", names_file, "--dim", "96", "--precision", "int8",
+            "--conf-thr", "0.2", "--out", out_img,
+        ])
+        assert os.path.getsize(out_img) > 0
+
     def test_parser_covers_reference_train_knobs(self):
         """All reference notebook hyper-parameters are expressible."""
         from yolo_v3_tpu.cli import build_parser

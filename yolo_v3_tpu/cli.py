@@ -196,7 +196,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--dim", type=int, default=416)
     d.add_argument("--conf-thr", type=float, default=0.5)
     d.add_argument("--nms-thr", type=float, default=0.4)
-    d.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    d.add_argument("--precision", default="bf16",
+                   choices=["bf16", "fp32", "int8"],
+                   help="int8 = post-training-quantized serving path "
+                        "(activation scales calibrated on a synthetic "
+                        "batch; pass calib_images via the Detector API "
+                        "for data-driven scales)")
     d.add_argument("--out", default=None)
     d.set_defaults(fn=cmd_detect)
 
@@ -207,7 +212,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--dim", type=int, default=416)
     e.add_argument("--batch-size", type=int, default=8)
     e.add_argument("--letterbox", action="store_true")
-    e.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    e.add_argument("--precision", default="bf16",
+                   choices=["bf16", "fp32", "int8"])
     e.add_argument("--workdir", default="eval_out")
     e.set_defaults(fn=cmd_eval)
 
