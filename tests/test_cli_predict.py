@@ -188,6 +188,22 @@ class TestCLITrainEval:
         res = json.load(open(workdir + "/results.json"))
         assert isinstance(res, list)
 
+    def test_cli_eval_int8(self, coco_dir, names_file, tmp_path):
+        """int8 eval from the CLI: uint8 feed through the eval pipeline."""
+        import json
+
+        from yolo_v3_tpu.cli import main
+
+        workdir = str(tmp_path / "evalout_i8")
+        main([
+            "eval", "--val-list", str(coco_dir / "list.txt"),
+            "--weights", "random", "--names", names_file, "--dim", "64",
+            "--batch-size", "2", "--letterbox", "--precision", "int8",
+            "--workdir", workdir,
+        ])
+        res = json.load(open(workdir + "/results.json"))
+        assert isinstance(res, list)
+
     def test_detector_from_training_checkpoint(self, coco_dir, names_file,
                                                tmp_path):
         """Composite training checkpoints load directly into a Detector."""
