@@ -167,3 +167,32 @@ class TestCheckpointMeshShape:
                                "m", str(tmp_path), mesh_shape=(4, 2))
         ckpt = load_checkpoint(path)
         assert ckpt["mesh_shape"] == (4, 2)
+
+
+class TestShardedServing:
+    def test_sharded_detect_matches_single_device(self):
+        """Data-parallel SERVING: the full detect path (folded forward +
+        fused decode + NMS) jitted over a dp mesh returns exactly the
+        single-device results — XLA inserts no cross-batch collectives, so
+        sharding the batch axis is semantically free."""
+        from yolo_v3_tpu.detector import detect_fn
+
+        params, state = D.init_yolonet(jax.random.PRNGKey(0), CFG.num_classes,
+                                       blocks=(1, 1, 1, 1, 1))
+        folded = D.cast_params(D.fold_batchnorm(params, state), jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32))
+        org = jnp.asarray(np.tile([[96.0, 64.0]], (8, 1)).astype(np.float32))
+
+        fn = jax.jit(lambda p, v, o: detect_fn(
+            p, v, o, CFG, conf_thr=0.3, nms_thr=0.45,
+            compute_dtype=jnp.bfloat16))
+        want = np.asarray(fn(folded, x, org))
+
+        mesh = M.make_mesh(len(jax.devices()), space=1)
+        with mesh:
+            ps = M.replicate(mesh, folded)
+            xs = M.shard_batch(mesh, x, M.P(M.DATA_AXIS))
+            os_ = M.shard_batch(mesh, org, M.P(M.DATA_AXIS))
+            got = np.asarray(fn(ps, xs, os_))
+        np.testing.assert_array_equal(want, got)
