@@ -134,6 +134,16 @@ def main():
             results["bs128_ms_per_batch_int8_u8feed"] = round(ms_q8l, 2)
             best = max(best, ips_q8l)
 
+            # bs1 sustained serving latency (int8, u8 feed): back-to-back
+            # async dispatches pipeline over the tunnel, so a 50-call loop
+            # reports the sustained per-image service time, not one RTT
+            xs_u8_1 = [jax.jit(lambda k: jax.random.randint(
+                k, (1, 416, 416, 3), 0, 256, jnp.uint8))(jax.random.PRNGKey(i))
+                for i in range(2)]
+            _log("int8-u8 bs1 sustained")
+            ms1 = timeit(full_q8, xs_u8_1, iters=50)
+            results["bs1_ms_sustained_int8_u8feed"] = round(ms1, 3)
+
             # reduce raw outputs inside the jit: reading back the 115MB
             # raw tensors through the tunnel would dominate the timing
             _log("bf16 fwd bs64")

@@ -160,6 +160,25 @@ class TestMixedPrecision:
         for a in jax.tree.leaves(p16):
             assert np.all(np.isfinite(np.asarray(a)))
 
+    def test_remat_step_matches_plain(self, net, rng):
+        """jax.checkpoint trades activation memory for recompute FLOPs; the
+        numbers must not move — same graph, recomputed (TrainConfig.remat,
+        the enabler for large-batch 608 training)."""
+        params, state = net
+        imgs, labels = tiny_batch(rng)
+
+        tx, step = _optimizer_and_step(params, CFG, TCFG)
+        _, step_r = _optimizer_and_step(
+            params, CFG, TrainConfig(lr=1e-3, backbone_lr=1e-4, remat=True))
+        p0, s0, _, st0 = step(params, state, tx.init(params), imgs, labels)
+        p1, s1, _, st1 = step_r(params, state, tx.init(params), imgs, labels)
+
+        np.testing.assert_allclose(float(st0["loss"]), float(st1["loss"]),
+                                   rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
     def test_bf16_training_reduces_loss(self, net, rng):
         params, state = net
         tx, step = _optimizer_and_step(params, CFG, TCFG16)

@@ -37,6 +37,11 @@ def _build_detector(args, num_classes: int):
         params, state = D.init_yolonet(jax.random.PRNGKey(0), num_classes)
         return Detector(params, state, cfg, precision=args.precision)
     if args.weights.endswith(".npz"):
+        from yolo_v3_tpu.models import quantized as Q
+
+        if Q.is_quantized_file(args.weights):
+            # pre-calibrated int8 serving artifact ('weights quantize')
+            return Detector.from_quantized(args.weights, cfg)
         return Detector.from_checkpoint(args.weights, cfg, precision=args.precision)
     return Detector.from_darknet_weights(args.weights, cfg, precision=args.precision)
 
@@ -105,6 +110,7 @@ def cmd_train(args):
         max_net_batches=args.max_net_batches,
         seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        remat=args.remat,
     )
 
     trans = lambda dim: T.training_transform(
@@ -181,6 +187,36 @@ def cmd_weights(args):
         W.save_pytree({"params": params, "state": state}, args.out,
                       meta={"seen": int(hdr[3]), "source": args.path})
         print(f"wrote {args.out} ({n} floats)")
+    elif args.action == "quantize":
+        # one-time calibration -> deployable int8 serving artifact; detect /
+        # eval auto-load it (no float weights or calib data at serve time)
+        from yolo_v3_tpu.detector import Detector
+        from yolo_v3_tpu.utils.config import YoloConfig
+
+        cfg = YoloConfig(num_classes=args.num_classes, img_dim=args.dim)
+        calib = None
+        if args.calib_images:
+            import cv2
+
+            paths = sorted(os.listdir(args.calib_images))[:args.calib_count]
+            calib = []
+            for p in paths:
+                im = cv2.imread(os.path.join(args.calib_images, p))
+                if im is not None:
+                    calib.append(cv2.cvtColor(im, cv2.COLOR_BGR2RGB))
+            if not calib:
+                raise FileNotFoundError(
+                    f"no readable images in {args.calib_images}")
+            print(f"calibrating on {len(calib)} images", file=sys.stderr)
+        if args.path.endswith(".npz"):
+            det = Detector.from_checkpoint(args.path, cfg, precision="int8",
+                                           calib_images=calib)
+        else:
+            det = Detector.from_darknet_weights(args.path, cfg,
+                                                precision="int8",
+                                                calib_images=calib)
+        det.save_quantized(args.out)
+        print(f"wrote {args.out}")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -242,6 +278,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--bf16", action="store_true",
                    help="mixed-precision training (bf16 compute, fp32 master)")
+    t.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward in backward (activation "
+                        "memory ~ layer peak; enables large-batch 608)")
     t.add_argument("--hue", type=float, default=0.1)
     t.add_argument("--saturation", type=float, default=1.5)
     t.add_argument("--exposure", type=float, default=1.5)
@@ -257,10 +296,16 @@ def build_parser() -> argparse.ArgumentParser:
     t.set_defaults(fn=cmd_train)
 
     w = sub.add_parser("weights", help="weight file tools")
-    w.add_argument("action", choices=["inspect", "convert"])
+    w.add_argument("action", choices=["inspect", "convert", "quantize"])
     w.add_argument("path")
     w.add_argument("--out", default="model.npz")
     w.add_argument("--num-classes", type=int, default=80)
+    w.add_argument("--calib-images", default=None,
+                   help="directory of calibration images for 'quantize' "
+                        "(default: synthetic batch)")
+    w.add_argument("--calib-count", type=int, default=32)
+    w.add_argument("--dim", type=int, default=416,
+                   help="net input dim for 'quantize' calibration")
     w.add_argument("--blocks", default=None,
                    help="comma-separated per-stage residual counts for "
                         "reduced backbones (default: darknet-53's 1,2,8,8,4)")

@@ -80,6 +80,8 @@ class Detector:
     rate on TPU v5e; see models/quantized.py).  int8 calibrates activation
     scales on ``calib_images`` (HWC uint8) when given, else on a synthetic
     uniform batch (fine for smoke/bench; pass real images for accuracy).
+    A pre-calibrated tree (``quantized_tree`` / :meth:`from_quantized`)
+    skips calibration entirely — the deployment path.
     """
 
     def __init__(
@@ -91,26 +93,31 @@ class Detector:
         letterbox: bool = True,
         resize_on_device: bool = True,
         calib_images=None,
+        quantized_tree=None,
     ):
         self.config = config
         self.letterbox = letterbox
         self.resize_on_device = resize_on_device
-        self.precision = precision
+        self.precision = "int8" if quantized_tree is not None else precision
+        precision = self.precision
         self.compute_dtype = jnp.bfloat16 if precision != "fp32" else jnp.float32
         self._apply_fn = None
         self._u8_feed = False
         if precision == "int8":
             from yolo_v3_tpu.models import quantized as Q
 
-            if calib_images is not None:
-                calib, _ = self.preprocess(calib_images)
+            if quantized_tree is not None:
+                self.params = quantized_tree
             else:
-                rng = np.random.default_rng(0)
-                calib = jnp.asarray(
-                    rng.uniform(0, 1, (8, config.img_dim, config.img_dim, 3))
-                    .astype(np.float32)
-                )
-            self.params = Q.build_quantized(params, state, calib)
+                if calib_images is not None:
+                    calib, _ = self.preprocess(calib_images)
+                else:
+                    rng = np.random.default_rng(0)
+                    calib = jnp.asarray(
+                        rng.uniform(0, 1, (8, config.img_dim, config.img_dim, 3))
+                        .astype(np.float32)
+                    )
+                self.params = Q.build_quantized(params, state, calib)
             self._apply_fn = Q.apply_yolonet_quantized
             self.compute_dtype = jnp.float32  # image quantized inside
             if not resize_on_device:
@@ -133,6 +140,32 @@ class Detector:
         params, state = D.init_yolonet(jax.random.PRNGKey(0), config.num_classes)
         params, state, _, _ = W.load_darknet_weights(params, state, path)
         return cls(params, state, config, **kw)
+
+    @classmethod
+    def from_quantized(
+        cls, path: str, config: YoloConfig = YoloConfig(), **kw
+    ) -> "Detector":
+        """Load a quantized serving artifact (models/quantized.py's
+        save_quantized): no float weights, no calibration pass — the int8
+        tree IS the deployable model."""
+        from yolo_v3_tpu.models import quantized as Q
+
+        return cls(None, None, config, quantized_tree=Q.load_quantized(path),
+                   **kw)
+
+    def save_quantized(self, path: str) -> None:
+        """Persist this detector's int8 serving tree (precision='int8')."""
+        if self.precision != "int8":
+            raise ValueError(
+                f"save_quantized requires precision='int8' (got "
+                f"{self.precision!r})")
+        from yolo_v3_tpu.models import quantized as Q
+
+        Q.save_quantized(
+            self.params, path,
+            meta={"num_classes": self.config.num_classes,
+                  "img_dim": self.config.img_dim},
+        )
 
     @classmethod
     def from_checkpoint(cls, path: str, config: YoloConfig = YoloConfig(), **kw) -> "Detector":

@@ -439,6 +439,94 @@ def _yolonet_tail(q: Dict, y: jnp.ndarray):
     return det0, det1, det2
 
 
+# ---------------------------------------------------------------------------
+# Persistence: the quantized tree is the deployable serving artifact.  The
+# reference ships fp32 .weights only and re-derives everything at load time;
+# here calibration is a one-time step whose result (int8 weights + static
+# activation scales) round-trips exactly through an npz, so a serving process
+# needs neither the float net nor the calibration data.
+# ---------------------------------------------------------------------------
+
+QUANTIZED_FORMAT = "yolo_v3_tpu/quantized-v1"
+
+
+def _flatten_q(node, parts, names, kinds, arrays):
+    if isinstance(node, dict):
+        for k in sorted(node):
+            _flatten_q(node[k], parts + [k], names, kinds, arrays)
+        return
+    # leaf kinds: jnp/np array, python float (res_scale, scales/*), or a
+    # tuple of floats (route_scales) — record the kind so load restores the
+    # exact python type (float leaves must NOT come back as 0-d arrays: they
+    # are jit-static in some callers and hash into the compile cache key)
+    if isinstance(node, tuple):
+        kind, arr = "tuple", np.asarray(node, np.float32)
+    elif isinstance(node, (float, int)):
+        kind, arr = "float", np.asarray(node, np.float32)
+    else:
+        kind, arr = "array", np.asarray(node)
+    names.append(parts)
+    kinds.append(kind)
+    arrays.append(arr)
+
+
+def save_quantized(q: Dict, path: str, meta: Dict = None) -> None:
+    """Persist a quantized serving tree (:func:`build_quantized` output).
+
+    Arrays are stored under positional keys with a JSON name table — the
+    ``scales`` sub-dict's keys contain '/' so a path-joined flat layout would
+    be ambiguous.  Round-trip is exact: int8 weights, f32 multipliers, and
+    the float scale leaves are stored verbatim.
+    """
+    import json
+
+    names, kinds, arrays = [], [], []
+    _flatten_q(jax.device_get(q), [], names, kinds, arrays)
+    header = {"format": QUANTIZED_FORMAT, "names": names, "kinds": kinds,
+              "meta": meta or {}}
+    flat = {f"a{i}": a for i, a in enumerate(arrays)}
+    flat["__quantized__"] = np.frombuffer(
+        json.dumps(header).encode(), dtype=np.uint8)
+    np.savez(path, **flat)
+
+
+def is_quantized_file(path: str) -> bool:
+    """True if ``path`` is an npz written by :func:`save_quantized`."""
+    npz = path if path.endswith(".npz") else path + ".npz"
+    try:
+        with np.load(npz, allow_pickle=False) as z:
+            return "__quantized__" in z.files
+    except (OSError, ValueError):
+        return False
+
+
+def load_quantized(path: str) -> Dict:
+    """Load a quantized serving tree saved by :func:`save_quantized`."""
+    import json
+
+    npz = path if path.endswith(".npz") else path + ".npz"
+    with np.load(npz, allow_pickle=False) as z:
+        if "__quantized__" not in z.files:
+            raise ValueError(f"{path}: not a quantized serving artifact")
+        header = json.loads(bytes(z["__quantized__"].tolist()).decode())
+        if header.get("format") != QUANTIZED_FORMAT:
+            raise ValueError(
+                f"{path}: unknown quantized format {header.get('format')!r}")
+        arrays = [z[f"a{i}"] for i in range(len(header["names"]))]
+    q: Dict = {}
+    for parts, kind, arr in zip(header["names"], header["kinds"], arrays):
+        node = q
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if kind == "tuple":
+            node[parts[-1]] = tuple(float(v) for v in arr)
+        elif kind == "float":
+            node[parts[-1]] = float(arr)
+        else:
+            node[parts[-1]] = jnp.asarray(arr)
+    return q
+
+
 def build_quantized(params, state, calib_x: jnp.ndarray,
                     space_to_depth: bool = True) -> Dict:
     """fold BN (+ s2d remap) -> calibrate -> quantize, in one call."""

@@ -47,7 +47,8 @@ def _optimizer_and_step(params, config: YoloConfig, tcfg: TrainConfig):
             jnp.bfloat16 if tcfg.compute_dtype == "bfloat16" else jnp.float32
         )
         tx = make_optimizer(params, tcfg)
-        hit = (tx, make_train_step(config, tx, compute_dtype=compute_dtype))
+        hit = (tx, make_train_step(config, tx, compute_dtype=compute_dtype,
+                                   remat=tcfg.remat))
         _STEP_CACHE[key] = hit
     return hit
 

@@ -55,7 +55,7 @@ def loss_fn(params, state, imgs, labels, config: YoloConfig,
 
 
 def make_train_step(config: YoloConfig, tx: optax.GradientTransformation,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, remat: bool = False):
     """Build a jittable net-batch step.
 
     Inputs: ``imgs`` [S, B, H, W, 3], ``labels`` [S, B, T, 5] where S is the
@@ -63,9 +63,13 @@ def make_train_step(config: YoloConfig, tx: optax.GradientTransformation,
     subdivisions (reference train.py:74).
     """
 
-    grad_fn = jax.value_and_grad(
-        functools.partial(loss_fn, compute_dtype=compute_dtype), has_aux=True
-    )
+    base = functools.partial(loss_fn, config=config,
+                             compute_dtype=compute_dtype)
+    if remat:
+        # recompute the forward during the backward pass instead of saving
+        # activations: memory ~ layer peak, gradients bitwise identical
+        base = jax.checkpoint(base)
+    grad_fn = jax.value_and_grad(base, has_aux=True)
 
     @jax.jit
     def train_step(params, state, opt_state, imgs, labels):
@@ -74,7 +78,7 @@ def make_train_step(config: YoloConfig, tx: optax.GradientTransformation,
         def micro(carry, xs):
             state, grads_acc = carry
             im, lb = xs
-            (loss, (stats, state)), grads = grad_fn(params, state, im, lb, config)
+            (loss, (stats, state)), grads = grad_fn(params, state, im, lb)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             return (state, grads_acc), stats
 

@@ -128,6 +128,11 @@ class TrainConfig:
     # "float32" (reference-exact) or "bfloat16" (mixed precision: bf16
     # compute, fp32 master params/grads/BN stats — ~3x faster on TPU)
     compute_dtype: str = "float32"
+    # rematerialize the forward during backward (jax.checkpoint): activation
+    # memory drops to the layer peak at ~1/3 extra forward FLOPs — the
+    # enabler for large-batch 608 training within one chip's HBM.  Same
+    # graph recomputed, so gradients don't move (tests/test_train_step.py).
+    remat: bool = False
 
     # LR schedule in net-batches: darknet's COCO recipe (which the reference
     # checkpoint format reserves a scheduler slot for, reference
