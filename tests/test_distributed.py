@@ -85,7 +85,13 @@ class TestShardedTrainingParity:
             # abort correlates with two live tunnel sessions (sitecustomize
             # register()s one per python process).
             env.pop("PALLAS_AXON_POOL_IPS", None)
-            for attempt in range(3):
+            # One crash-retry is the documented workaround for the known
+            # XLA-CPU SIGABRT (CLAUDE.md); needing a SECOND retry would mean
+            # a new/different crash, so that fails loudly instead of being
+            # silently absorbed.  The signature of every crashed attempt is
+            # printed so regressions are diagnosable from suite output.
+            crashes = []
+            for attempt in range(2):
                 r = subprocess.run(
                     [sys.executable, "-m", "pytest", "-q",
                      "-p", "no:cacheprovider",
@@ -96,6 +102,10 @@ class TestShardedTrainingParity:
                         os.path.dirname(os.path.abspath(__file__))),
                 )
                 if r.returncode == 0:
+                    if crashes:
+                        print(f"sharded-parity child crashed once before "
+                              f"passing (known SIGABRT workaround): "
+                              f"{crashes[0]!r}")
                     return
                 crash = (
                     "Aborted" in r.stderr
@@ -104,8 +114,12 @@ class TestShardedTrainingParity:
                 )
                 if not crash:
                     break  # real assertion failure: don't mask it by retrying
+                crashes.append(
+                    f"attempt {attempt}: rc={r.returncode}, "
+                    f"stderr tail: {r.stderr[-400:]}")
             raise AssertionError(
-                f"child run failed\nstdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+                f"child run failed after {len(crashes)} crash(es): "
+                f"{crashes}\nstdout:\n{r.stdout}\nstderr:\n{r.stderr}"
             )
         self._body(coco_dir)
 

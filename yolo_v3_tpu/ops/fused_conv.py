@@ -1,16 +1,16 @@
 """Fused conv kernels on a padded-2D activation layout (Pallas TPU).
 
-The serving-path replacement for XLA's conv stack (reference conv_bn_relu /
-res_layer, reference darknet.py:27-53), designed around two measured facts
-on TPU v5e (scratch probes, round 2):
+A Pallas alternative to XLA's conv stack (reference conv_bn_relu /
+res_layer, reference darknet.py:27-53).  **Measured status (docs/STATUS.md,
+round 2, dispatch-differenced): OFF the serving path.**  The early-round
+numbers that motivated this design ("XLA convs only reach ~37-55 TF/s")
+were dispatch-RTT artifacts; with correct differencing, XLA int8
+convolutions sustain ~190-307 TOP/s at YOLOv3's residual-block shapes and
+these Pallas kernels measure *slower* (91 vs 304 TOP/s at stage 2).  The
+kernels are kept as exact-parity-tested infrastructure for shapes/fusions
+XLA handles badly, not as the default path.
 
-* XLA convolutions at YOLOv3's residual-block shapes reach only ~37-55
-  TF/s bf16 and ~55-59 TOP/s int8 — far under the ~95-132 that plain
-  matmuls sustain on the same chip.
-* the MXU int8 path IS engaged by ``jnp.dot`` on int8 operands (~132
-  TOP/s), although NOT by ``lax.conv_general_dilated``.
-
-So: make convolutions *be* matmuls.  Activations live in a **padded-2D
+The design: make convolutions *be* matmuls.  Activations live in a **padded-2D
 layout**: a [B, H, W, C] tensor is stored as ``x2d`` of shape
 ``[B*(H+2)*(W+2), C]`` — each image zero-padded by one pixel on every side
 and the (batch, row, col) dims flattened.  In this layout the 9 taps of a

@@ -1,12 +1,18 @@
 """Pallas TPU kernels for bandwidth-bound hot ops.
 
-The early Darknet-53 stages (high spatial resolution, small channel count)
-are HBM-bandwidth-bound: XLA materializes every conv output, so a residual
-block (1x1 conv -> 3x3 conv -> add, reference darknet.py:46-53) moves ~5
-tensors' worth of HBM traffic.  :func:`fused_res_block` computes the whole
-block per VMEM tile — the input row-window is DMA'd in once (with a one-row
-halo for the 3x3), both convs run as MXU matmuls on VMEM-resident data, and
-only the final sum is written back: ~2.5x less HBM traffic per block.
+**Measured status (docs/STATUS.md, round 2): OFF the serving path.**  With
+dispatch-differenced timing, Pallas shows no headroom over XLA at identical
+int8 matmul recipes on this chip (132 vs 140 TOP/s steady-state), and the
+serving path is XLA int8 convs (models/quantized.py); the round-1 claim
+that this fused block beat XLA came from dispatch-RTT-polluted timings.
+
+The design idea stands on its own terms: XLA materializes every conv
+output, so a residual block (1x1 conv -> 3x3 conv -> add, reference
+darknet.py:46-53) moves ~5 tensors' worth of HBM traffic, while
+:func:`fused_res_block` computes the whole block per VMEM tile — the input
+row-window is DMA'd in once (with a one-row halo for the 3x3), both convs
+run as MXU matmuls on VMEM-resident data, and only the final sum is written
+back.  Kept as exact-parity-tested infrastructure.
 
 Numerics match the BN-folded XLA path (`darknet._conv_bias_leaky` chain):
 bf16 inputs/weights, fp32 accumulation, leaky-ReLU(0.1) epilogues.
