@@ -229,3 +229,44 @@ class TestCLITrainEval:
                                                 dtype=np.uint8)
         out = det.detect([img], conf_thr=0.3)
         assert out[0].shape[1] == 7
+
+
+class TestCLITrainNoAug:
+    def test_cli_train_no_aug_cache_metrics(self, coco_dir, names_file,
+                                            tmp_path):
+        """--no-aug --cache --metrics-jsonl: letterbox-only cached training
+        writes one raw-stats JSON line per net-batch."""
+        import json
+
+        from yolo_v3_tpu.cli import main
+        from yolo_v3_tpu.train.checkpoint import get_latest_checkpoint
+
+        wdir = str(tmp_path / "weights")
+        mpath = str(tmp_path / "metrics.jsonl")
+        main([
+            "train", "--train-list", coco_dir,
+            "--names", names_file, "--model-id", "noaug",
+            "--weight-dir", wdir, "--dim", "64", "--batch-size", "2",
+            "--subdivisions", "1", "--max-net-batches", "3",
+            "--no-aug", "--cache", "--metrics-jsonl", mpath,
+            "--burn-in", "2",
+        ])
+        path, it = get_latest_checkpoint("noaug", wdir)
+        assert path is not None and it >= 1
+        rows = [json.loads(ln) for ln in open(mpath)]
+        assert [r["net_batch"] for r in rows] == [1, 2, 3]
+        assert all("loss" in r and "recall" in r for r in rows)
+
+    def test_cli_train_cache_requires_no_aug(self, coco_dir, names_file,
+                                             tmp_path):
+        import pytest
+
+        from yolo_v3_tpu.cli import main
+
+        with pytest.raises(SystemExit):
+            main([
+                "train", "--train-list", coco_dir,
+                "--names", names_file, "--weight-dir",
+                str(tmp_path / "w"), "--dim", "64", "--batch-size", "2",
+                "--subdivisions", "1", "--max-net-batches", "1", "--cache",
+            ])

@@ -265,3 +265,87 @@ class TestMultiHostSharding:
         sampler = CyclicSampler(len(ds), 4, seed=0, dim=(64, 64))
         with pytest.raises(AssertionError):
             DataHelper(ds, sampler, n_hosts=3)
+
+
+class TestCVATExportAndCache:
+    def _tiny_cvat(self, tmp_path, n=2):
+        """A 2-image CVAT XML over real reference x_wing JPEGs."""
+        import cv2
+
+        names = ["x_wing_0051.jpg", "x_wing_0052.jpg"][:n]
+        rows = []
+        for name in names:
+            img = cv2.imread(f"/root/reference/custom_data/x_wing/{name}")
+            h, w = img.shape[:2]
+            rows.append(
+                f'<image id="0" name="{name}">'
+                f'<box label="x_wing" xtl="{w*0.25}" ytl="{h*0.25}" '
+                f'xbr="{w*0.75}" ybr="{h*0.5}" occluded="0"/>'
+                f'<box label="tie" xtl="1" ytl="2" xbr="31" ybr="42" '
+                f'occluded="0"/></image>')
+        xml = tmp_path / "tiny.xml"
+        xml.write_text("<annotations>" + "".join(rows) + "</annotations>")
+        return str(xml)
+
+    def test_export_cvat_to_list_matches_cvat_dataset(self, tmp_path):
+        """Exported label txts reproduce CVATDataset's relative-cxcywh rows
+        exactly, and ListDataset round-trips them."""
+        from yolo_v3_tpu.data.datasets import export_cvat_to_list
+
+        xml = self._tiny_cvat(tmp_path)
+        out = str(tmp_path / "exported")
+        list_path = export_cvat_to_list(
+            "/root/reference/custom_data/x_wing", xml, out)
+
+        cvat = CVATDataset("/root/reference/custom_data/x_wing", xml)
+        lst = ListDataset(list_path)
+        assert len(lst) == len(cvat) == 2
+        for i in range(2):
+            a = cvat.load_raw(i)
+            b = lst.load_raw(i)
+            np.testing.assert_array_equal(a["img"], b["img"])
+            np.testing.assert_allclose(a["label"], b["label"], atol=1e-5)
+            # explicit expected row (regression for the view-aliasing bug
+            # where w/h were computed from already-overwritten corners):
+            # box (0.25w, 0.25h, 0.75w, 0.5h) -> cxcywh (.5, .375, .5, .25)
+            np.testing.assert_allclose(
+                a["label"][0], [0, 0.5, 0.375, 0.5, 0.25], atol=1e-5)
+
+    def test_cached_dataset_decodes_once_and_freezes(self, tmp_path):
+        from yolo_v3_tpu.data.datasets import CachedDataset
+
+        xml = self._tiny_cvat(tmp_path)
+        ds = CVATDataset("/root/reference/custom_data/x_wing", xml,
+                         trans_fn=lambda dim: T.eval_transform(dim))
+        calls = []
+        orig_get = ds.get
+        ds.get = lambda *a: (calls.append(a), orig_get(*a))[1]
+        cds = CachedDataset(ds)
+        s1 = cds.get(0, (64, 64), 7)
+        s2 = cds.get(0, (64, 64), 8)  # different seed: still a cache hit
+        assert len(calls) == 1
+        np.testing.assert_array_equal(s1["img"], s2["img"])
+        np.testing.assert_array_equal(s1["label"], s2["label"])
+        with pytest.raises(ValueError):
+            s2["img"][0, 0, 0] = 1.0  # frozen: mutation must raise
+        # distinct dim -> distinct cache entry; delegation works
+        cds.get(0, (32, 32), 7)
+        assert len(calls) == 2 and len(cds) == 2
+
+    def test_cached_dataset_in_datahelper(self, tmp_path):
+        """DataHelper over a CachedDataset iterates identically to the
+        uncached dataset (drop_keys dict mutation must not corrupt the
+        cache)."""
+        from yolo_v3_tpu.data.datasets import CachedDataset
+
+        xml = self._tiny_cvat(tmp_path)
+        mk = lambda d: DataHelper(
+            d, CyclicSampler(len(d), 2, seed=0, dim=(64, 64)),
+            max_net_batches=3, net_subdivisions=1, prefetch=0)
+        ds = CVATDataset("/root/reference/custom_data/x_wing", xml,
+                         trans_fn=lambda dim: T.eval_transform(dim))
+        plain = [s["img"].copy() for s in mk(ds)]
+        cached = [s["img"].copy() for s in mk(CachedDataset(ds))]
+        assert len(plain) == len(cached) == 3
+        for a, b in zip(plain, cached):
+            np.testing.assert_array_equal(a, b)

@@ -111,18 +111,32 @@ def cmd_train(args):
         seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         remat=args.remat,
+        burn_in=args.burn_in,
     )
 
-    trans = lambda dim: T.training_transform(
-        dim, hue=args.hue, saturation=args.saturation,
-        exposure=args.exposure, jitter=args.jitter, max_labels=cfg.max_labels,
-        extra_aug=args.extra_aug,
-    )
+    if args.no_aug:
+        # the reference's custom-data run trains WITHOUT augmentation
+        # (isAug=False -> letterbox+tensorize only,
+        # reference custom_data_train.ipynb cells 6/10)
+        trans = lambda dim: T.eval_transform(dim, max_labels=cfg.max_labels)
+    else:
+        trans = lambda dim: T.training_transform(
+            dim, hue=args.hue, saturation=args.saturation,
+            exposure=args.exposure, jitter=args.jitter,
+            max_labels=cfg.max_labels, extra_aug=args.extra_aug,
+        )
     if args.cvat_xml:
         ds = CVATDataset(args.train_images or os.path.dirname(args.train_list),
                          args.cvat_xml, trans_fn=trans)
     else:
         ds = ListDataset(args.train_list, trans_fn=trans)
+    if args.cache:
+        if not args.no_aug:
+            raise SystemExit("--cache requires --no-aug (the RAM cache is "
+                             "only valid for deterministic transforms)")
+        from yolo_v3_tpu.data.datasets import CachedDataset
+
+        ds = CachedDataset(ds)
 
     dim = None if args.multi_scale else (args.dim, args.dim)
     sampler = CyclicSampler(
@@ -156,8 +170,15 @@ def cmd_train(args):
         mesh = M.make_mesh()
         print(f"mesh: {mesh.devices.shape}", file=sys.stderr)
 
+    recorder = None
+    if args.metrics_jsonl:
+        from yolo_v3_tpu.train.recorder import Recorder
+
+        recorder = Recorder(jsonl_path=args.metrics_jsonl)
+
     train(
         data, params, state, cfg, tcfg,
+        recorder=recorder,
         model_id=args.model_id, weight_dir=args.weight_dir,
         checkpoint=checkpoint, checkpoint_interval=args.checkpoint_interval,
         mesh=mesh,
@@ -287,6 +308,15 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--jitter", type=float, default=0.3)
     t.add_argument("--extra-aug", action="store_true",
                    help="extra photometric augmentation bank")
+    t.add_argument("--no-aug", action="store_true",
+                   help="letterbox-only transform (the reference custom-data "
+                        "run's isAug=False)")
+    t.add_argument("--cache", action="store_true",
+                   help="RAM-cache finalized samples (requires --no-aug)")
+    t.add_argument("--metrics-jsonl", default=None,
+                   help="append per-net-batch raw stats to this JSONL file")
+    t.add_argument("--burn-in", type=int, default=0,
+                   help="net-batches of (n/burn_in)^4 LR warmup")
     t.add_argument("--num-workers", type=int, default=0,
                    help="multiprocess Python sample-assembly workers")
     t.add_argument("--native-threads", type=int, default=0,

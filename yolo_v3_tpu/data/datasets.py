@@ -144,8 +144,11 @@ class CVATDataset:
                   float(b["x2"]), float(b["y2"])] for b in boxes],
                 np.float32,
             )
-            # abs corners -> relative cxcywh (reference dataset.py:258-261)
-            x1, y1, x2, y2 = rows[:, 1], rows[:, 2], rows[:, 3], rows[:, 4]
+            # abs corners -> relative cxcywh (reference dataset.py:258-261).
+            # Copies, not views: the assignments below write into rows[:, 1:]
+            # and would otherwise corrupt x1/y1 before w/h are computed.
+            x1, y1, x2, y2 = (rows[:, 1].copy(), rows[:, 2].copy(),
+                              rows[:, 3].copy(), rows[:, 4].copy())
             rows[:, 1] = (x1 + x2) / 2 / w
             rows[:, 2] = (y1 + y2) / 2 / h
             rows[:, 3] = (x2 - x1) / w
@@ -182,3 +185,81 @@ class ImageFolderDataset:
             sample["rng"] = np.random.default_rng(0)
             sample = self.transform(sample)
         return sample
+
+
+class CachedDataset:
+    """RAM cache over a dataset whose transform is deterministic.
+
+    For no-augmentation training (the reference's custom-data overfit run
+    sets ``isAug=False`` — reference custom_data_train.ipynb cells 6/10: the
+    pipeline is letterbox+tensorize only) every ``get`` is a pure function
+    of ``(base_idx, dim)``: re-decoding and re-letterboxing the same JPEG
+    every epoch is wasted host work, and on a 1-core host it starves the
+    chip.  This wrapper caches finalized samples by ``(base_idx, dim)``,
+    ignoring the scheduled seed — ONLY valid when the wrapped transform
+    draws nothing from ``sample["rng"]`` (e.g. ``transforms.eval_transform``
+    / ``training_transform`` is NOT safe).  Cached arrays are frozen
+    (``writeable=False``) so any downstream mutation raises instead of
+    corrupting later epochs.
+    """
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+        self._cache: Dict[Tuple[int, Tuple[int, int]], Sample] = {}
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)
+
+    def get(self, base_idx: int, dim: Tuple[int, int], seed: int) -> Sample:
+        key = (base_idx, tuple(dim))
+        hit = self._cache.get(key)
+        if hit is None:
+            hit = self.dataset.get(base_idx, dim, seed)
+            for v in hit.values():
+                if isinstance(v, np.ndarray):
+                    v.setflags(write=False)
+            self._cache[key] = hit
+        return dict(hit)
+
+
+def export_cvat_to_list(img_dir: str, xml_path: str, out_dir: str,
+                        class2id: Optional[Dict[str, int]] = None) -> str:
+    """Materialize a CVAT XML dataset as the COCO list-file layout that the
+    eval pipeline consumes (``eval/pipeline.py``): ``out_dir/images/*.jpg``
+    (symlinks), ``out_dir/labels/*.txt`` (rows ``cls cx cy w h`` relative —
+    reference dataset.py:178 convention), and ``out_dir/list.txt``.  Returns
+    the list-file path.  This is the bridge that lets mAP evaluation run on
+    the reference's custom CVAT data (reference custom_data_train.ipynb has
+    no eval; this repo's eval harness expects list files)."""
+    class2id = class2id or {"x_wing": 0, "tie": 1}
+    img_out = osp.join(out_dir, "images")
+    lbl_out = osp.join(out_dir, "labels")
+    os.makedirs(img_out, exist_ok=True)
+    os.makedirs(lbl_out, exist_ok=True)
+    list_path = osp.join(out_dir, "list.txt")
+    lines = []
+    for name, boxes in get_xml_labels(xml_path).items():
+        src = osp.abspath(osp.join(img_dir, name))
+        dst = osp.join(img_out, name)
+        if not osp.exists(dst):
+            os.symlink(src, dst)
+        h, w = _read_image_rgb(src).shape[:2]
+        rows = []
+        for b in boxes:
+            x1, y1, x2, y2 = (float(b["x1"]), float(b["y1"]),
+                              float(b["x2"]), float(b["y2"]))
+            rows.append(
+                f"{class2id[b['cls']]} {(x1 + x2) / 2 / w:.6f} "
+                f"{(y1 + y2) / 2 / h:.6f} {(x2 - x1) / w:.6f} "
+                f"{(y2 - y1) / h:.6f}"
+            )
+        base = name.rsplit(".", 1)[0]
+        with open(osp.join(lbl_out, base + ".txt"), "w") as f:
+            f.write("\n".join(rows) + ("\n" if rows else ""))
+        lines.append(dst)
+    with open(list_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return list_path

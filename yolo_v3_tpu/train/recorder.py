@@ -21,7 +21,11 @@ def ewma_online(new_value: float, previous: float, window: int) -> float:
 
 
 class Recorder:
-    def __init__(self, ewma_window: Optional[int] = None):
+    def __init__(self, ewma_window: Optional[int] = None,
+                 jsonl_path: Optional[str] = None):
+        """``jsonl_path``: append one JSON line of raw (pre-EWMA) stats per
+        net-batch — the training-curve artifact (the reference only prints
+        to the tqdm bar, train.py:86-88; a file survives the run)."""
         self.ewma_window = ewma_window
         self.keys = LOSS_KEYS + EVAL_KEYS
         self.current_stats: "OrderedDict[str, float]" = OrderedDict(
@@ -31,10 +35,20 @@ class Recorder:
             (k, 0.0) for k in self.keys
         )
         self.history: list = []
+        self.net_batches_seen = 0
+        self.jsonl_path = jsonl_path
 
     def on_batch_end(self, batch_stats: Dict[str, float],
                      batch_datasize: int = 0) -> None:
         stats = {k: float(batch_stats[k]) for k in self.keys if k in batch_stats}
+        self.net_batches_seen += 1
+        if self.jsonl_path:
+            import json
+
+            with open(self.jsonl_path, "a") as f:
+                f.write(json.dumps(
+                    {"net_batch": self.net_batches_seen,
+                     "datasize": batch_datasize, **stats}) + "\n")
         if self.ewma_window:
             for k, v in stats.items():
                 prev = self.ewma_stats[k]
@@ -51,9 +65,11 @@ class Recorder:
         pass
 
     def state_dict(self) -> Dict:
-        return {"ewma_stats": dict(self.ewma_stats)}
+        return {"ewma_stats": dict(self.ewma_stats),
+                "net_batches_seen": self.net_batches_seen}
 
     def load_state_dict(self, sd: Dict) -> None:
+        self.net_batches_seen = int(sd.get("net_batches_seen", 0))
         self.ewma_stats.update(sd["ewma_stats"])
         self.current_stats.update(
             {k: self.ewma_stats[k] for k in self.keys if k in self.ewma_stats}
