@@ -86,6 +86,50 @@ class TestTrainLoop:
         for a, b in zip(leaves(s2), leaves(s_ref)):
             np.testing.assert_allclose(a, b, atol=2e-6)
 
+    def test_graceful_preemption_checkpoints_and_resumes(self, coco_dir,
+                                                         tmp_path):
+        """SIGTERM mid-run: the loop finishes the in-flight net-batch,
+        checkpoints, and exits; --resume continues to the same final params
+        as an uninterrupted run (the reference's pause/resume==one-go
+        contract, README.md:58-65, extended to kill-based preemption)."""
+        import signal
+
+        init = D.init_yolonet(jax.random.PRNGKey(0), CFG.num_classes,
+                              blocks=(1, 1, 1, 1, 1))
+
+        p_ref, s_ref, _, _ = train(
+            make_data(coco_dir, 4), *jax.tree.map(jnp.array, init), CFG, TCFG,
+            log_fn=lambda s: None,
+        )
+
+        wdir = str(tmp_path / "w")
+        lines = []
+        fired = []
+
+        def log_fn(s):
+            lines.append(s)
+            if s.startswith("net_batch") and not fired:
+                fired.append(True)
+                signal.raise_signal(signal.SIGTERM)
+
+        # checkpoint_interval huge: the only checkpoint is the preempt one
+        train(make_data(coco_dir, 4), *jax.tree.map(jnp.array, init), CFG,
+              TCFG, model_id="t", weight_dir=wdir, checkpoint_interval=10_000,
+              log_fn=log_fn)
+        assert any("[preempt]" in l for l in lines)
+        assert sum(l.startswith("net_batch") for l in lines) == 1  # stopped
+
+        path, _ = get_latest_checkpoint("t", wdir)
+        assert path is not None
+        p2, s2, _, _ = train(
+            make_data(coco_dir, 4), *jax.tree.map(jnp.array, init), CFG, TCFG,
+            checkpoint=load_checkpoint(path), log_fn=lambda s: None,
+        )
+        for a, b in zip(leaves(p2), leaves(p_ref)):
+            np.testing.assert_allclose(a, b, atol=2e-6)
+        for a, b in zip(leaves(s2), leaves(s_ref)):
+            np.testing.assert_allclose(a, b, atol=2e-6)
+
     def test_checkpoint_gc(self, tmp_path):
         import os
 

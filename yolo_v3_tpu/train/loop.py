@@ -15,7 +15,9 @@ contract (train.py:24-28, 86-88).
 
 from __future__ import annotations
 
+import signal
 import sys
+import threading
 import time
 from typing import Callable, Dict, Optional
 
@@ -72,8 +74,26 @@ def train(
     ``data`` is a DataHelper; ``mesh`` (optional) shards net-batches over the
     ``data`` axis for multi-chip runs.  Returns (params, state, opt_state,
     recorder).
+
+    Graceful preemption: SIGTERM/SIGINT during the run sets a flag; the loop
+    finishes the in-flight net-batch, saves a checkpoint, and returns.  The
+    device client is never torn down mid-compile/mid-step (which wedges this
+    environment's TPU tunnel), and a ``--resume`` run continues the curve
+    exactly where the kill landed (resume==one-go is the reference's
+    Deterministic_data_loading contract, README.md:58-65).
     """
     recorder = recorder or Recorder()
+
+    preempted = threading.Event()
+    prev_handlers = {}
+    if threading.current_thread() is threading.main_thread():
+        def _on_signal(signum, frame):
+            log_fn(f"[preempt] signal {signum}: will checkpoint at the next "
+                   "net-batch boundary and exit")
+            preempted.set()
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
     tx, step = _optimizer_and_step(params, config, tcfg)
     opt_state = tx.init(params)
 
@@ -138,7 +158,8 @@ def train(
             # Checkpoint every checkpoint_interval net-batches; batch+1 is
             # always S-aligned here (the scan step consumes S mini-batches).
             if weight_dir is not None and (
-                (batch + 1) % (S * checkpoint_interval) == 0
+                preempted.is_set()
+                or (batch + 1) % (S * checkpoint_interval) == 0
             ):
                 save_checkpoint(
                     data, params, state, opt_state, recorder, model_id,
@@ -147,8 +168,16 @@ def train(
                                 else None),
                 )
 
+            if preempted.is_set():
+                log_fn(f"[preempt] checkpointed at net_batch {net_batch}; "
+                       "exiting")
+                break
+
         if data.is_end_of_epoch():
             recorder.on_epoch_end()
+
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
 
     log_fn(
         f"[finish] net_batch {data.get_net_batch()} batch {data.get_batch()} "
