@@ -117,7 +117,9 @@ class TestTrainLoop:
               TCFG, model_id="t", weight_dir=wdir, checkpoint_interval=10_000,
               log_fn=log_fn)
         assert any("[preempt]" in l for l in lines)
-        assert sum(l.startswith("net_batch") for l in lines) == 1  # stopped
+        # stops at the preempt boundary: the logged net-batch plus at most
+        # the one already in flight (1-deep pipelining drains one late)
+        assert sum(l.startswith("net_batch") for l in lines) <= 2
 
         path, _ = get_latest_checkpoint("t", wdir)
         assert path is not None

@@ -112,6 +112,10 @@ def cmd_train(args):
         compute_dtype="bfloat16" if args.bf16 else "float32",
         remat=args.remat,
         burn_in=args.burn_in,
+        lr_steps=tuple(int(s) for s in args.lr_steps.split(","))
+        if args.lr_steps else (),
+        lr_step_scales=tuple(0.1 for _ in args.lr_steps.split(","))
+        if args.lr_steps else (),
     )
 
     if args.no_aug:
@@ -317,6 +321,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append per-net-batch raw stats to this JSONL file")
     t.add_argument("--burn-in", type=int, default=0,
                    help="net-batches of (n/burn_in)^4 LR warmup")
+    t.add_argument("--lr-steps", default=None,
+                   help="comma-separated net-batch boundaries for x0.1 LR "
+                        "step decay (darknet yolov3.cfg steps semantics)")
     t.add_argument("--num-workers", type=int, default=0,
                    help="multiprocess Python sample-assembly workers")
     t.add_argument("--native-threads", type=int, default=0,

@@ -40,6 +40,45 @@ from yolo_v3_tpu.utils.config import TrainConfig, YoloConfig
 # group labels and the step's gradient tree depend only on structure).
 _STEP_CACHE: Dict = {}
 
+# Stats from the compiled step come back as a dict of device scalars; on the
+# real chip each scalar readback is a full tunnel round-trip (30-70 ms), so
+# reading 9 of them per net-batch costs more than the step itself at small
+# batch.  Pack them into ONE device vector (one jitted op, one dispatch) and
+# read that back with a single transfer.
+_PACK_CACHE: Dict = {}
+
+
+def _pack_stats(stats: Dict) -> tuple:
+    keys = tuple(sorted(stats))
+    pack = _PACK_CACHE.get(keys)
+    if pack is None:
+        pack = jax.jit(
+            lambda s: jnp.stack([s[k].astype(jnp.float32) for k in keys])
+        )
+        _PACK_CACHE[keys] = pack
+    return keys, pack(stats)
+
+
+class _PendingStats:
+    """One in-flight net-batch's metadata: the packed device stats plus the
+    host-side context needed to log it.  Draining (the host readback that
+    actually waits on the device) happens one net-batch late, so host-side
+    sample assembly for net-batch N+1 overlaps device execution of N."""
+
+    def __init__(self, stats, net_batch, epoch, dim, n_imgs):
+        self.keys, self.packed = _pack_stats(stats)
+        self.net_batch, self.epoch, self.dim = net_batch, epoch, dim
+        self.n_imgs = n_imgs
+
+    def drain(self, recorder, log_fn):
+        vals = np.asarray(self.packed)          # ONE host readback
+        host = dict(zip(self.keys, (float(v) for v in vals)))
+        recorder.on_batch_end(host, self.n_imgs)
+        log_fn(
+            f"net_batch {self.net_batch} epoch {self.epoch} "
+            f"dim {self.dim} {recorder.stats_row()}"
+        )
+
 
 def _optimizer_and_step(params, config: YoloConfig, tcfg: TrainConfig):
     key = (config, tcfg, jax.tree.structure(params))
@@ -119,6 +158,7 @@ def train(
     S = data.net_subdivisions
 
     micro_imgs, micro_labels = [], []
+    pending: Optional[_PendingStats] = None
     t_start = time.time()
     for sample in data:
         micro_imgs.append(sample["img"])
@@ -133,8 +173,12 @@ def train(
                     f"({sorted(dims)}); set the sampler's rand_dim_interval "
                     "to a multiple of batch_size * net_subdivisions"
                 )
-            imgs = np.stack(micro_imgs).astype(np.float32)
-            labels = np.stack(micro_labels).astype(np.float32)
+            imgs = np.stack(micro_imgs)
+            if imgs.dtype != np.float32:
+                imgs = imgs.astype(np.float32)
+            labels = np.stack(micro_labels)
+            if labels.dtype != np.float32:
+                labels = labels.astype(np.float32)
             micro_imgs, micro_labels = [], []
 
             if mesh is not None:
@@ -146,21 +190,25 @@ def train(
                 params, state, opt_state, imgs, labels
             )
 
-            net_batch = data.get_net_batch()
-            recorder.on_batch_end(
-                {k: float(v) for k, v in stats.items()}, imgs.shape[0] * imgs.shape[1]
-            )
-            log_fn(
-                f"net_batch {net_batch} epoch {data.get_epoch()} "
-                f"dim {imgs.shape[2]} {recorder.stats_row()}"
+            # 1-deep pipeline: dispatch is async; drain the PREVIOUS
+            # net-batch's stats (the only host<->device sync) so sample
+            # assembly for the next one overlaps this step's execution.
+            if pending is not None:
+                pending.drain(recorder, log_fn)
+            pending = _PendingStats(
+                stats, data.get_net_batch(), data.get_epoch(),
+                imgs.shape[2], imgs.shape[0] * imgs.shape[1],
             )
 
             # Checkpoint every checkpoint_interval net-batches; batch+1 is
             # always S-aligned here (the scan step consumes S mini-batches).
+            # The recorder must be current at save time, so drain first.
             if weight_dir is not None and (
                 preempted.is_set()
                 or (batch + 1) % (S * checkpoint_interval) == 0
             ):
+                pending.drain(recorder, log_fn)
+                pending = None
                 save_checkpoint(
                     data, params, state, opt_state, recorder, model_id,
                     weight_dir,
@@ -169,12 +217,18 @@ def train(
                 )
 
             if preempted.is_set():
-                log_fn(f"[preempt] checkpointed at net_batch {net_batch}; "
-                       "exiting")
+                if pending is not None:
+                    pending.drain(recorder, log_fn)
+                    pending = None
+                log_fn(f"[preempt] checkpointed at net_batch "
+                       f"{recorder.net_batches_seen}; exiting")
                 break
 
         if data.is_end_of_epoch():
             recorder.on_epoch_end()
+
+    if pending is not None:
+        pending.drain(recorder, log_fn)
 
     for sig, h in prev_handlers.items():
         signal.signal(sig, h)
