@@ -186,6 +186,7 @@ def cmd_train(args):
         model_id=args.model_id, weight_dir=args.weight_dir,
         checkpoint=checkpoint, checkpoint_interval=args.checkpoint_interval,
         mesh=mesh,
+        pipeline_stats=args.pipeline_stats,
     )
 
 
@@ -324,6 +325,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--lr-steps", default=None,
                    help="comma-separated net-batch boundaries for x0.1 LR "
                         "step decay (darknet yolov3.cfg steps semantics)")
+    t.add_argument("--pipeline-stats", action="store_true",
+                   help="drain per-net-batch stats one step late so host "
+                        "sample assembly overlaps device execution (needs "
+                        "a runtime that reclaims transfer buffers without "
+                        "a per-step sync; see train/loop.py)")
     t.add_argument("--num-workers", type=int, default=0,
                    help="multiprocess Python sample-assembly workers")
     t.add_argument("--native-threads", type=int, default=0,

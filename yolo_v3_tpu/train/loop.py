@@ -107,6 +107,7 @@ def train(
     checkpoint_interval: int = 1,
     mesh=None,
     log_fn: Callable[[str], None] = lambda s: print(s, file=sys.stderr),
+    pipeline_stats: bool = False,
 ):
     """Run training until ``data`` is exhausted (reference train.py:21-102).
 
@@ -190,15 +191,25 @@ def train(
                 params, state, opt_state, imgs, labels
             )
 
-            # 1-deep pipeline: dispatch is async; drain the PREVIOUS
-            # net-batch's stats (the only host<->device sync) so sample
-            # assembly for the next one overlaps this step's execution.
+            # Stats come back as ONE packed device vector = one readback
+            # RTT instead of nine.  By default the drain happens right here
+            # (synchronous): the per-net-batch sync is the backpressure that
+            # lets this environment's tunnel client reclaim each step's
+            # host-side input buffers — measured un-synced, RSS grows
+            # ~650 MB per bs64x4 net-batch (every imgs stack retained) and
+            # the dispatch rate degrades 2-4x as the run ages.
+            # ``pipeline_stats=True`` drains one net-batch late instead, so
+            # host sample assembly overlaps device execution — worth it only
+            # where transfers are locally reclaimed (real multi-chip hosts).
             if pending is not None:
                 pending.drain(recorder, log_fn)
             pending = _PendingStats(
                 stats, data.get_net_batch(), data.get_epoch(),
                 imgs.shape[2], imgs.shape[0] * imgs.shape[1],
             )
+            if not pipeline_stats:
+                pending.drain(recorder, log_fn)
+                pending = None
 
             # Checkpoint every checkpoint_interval net-batches; batch+1 is
             # always S-aligned here (the scan step consumes S mini-batches).
@@ -207,8 +218,9 @@ def train(
                 preempted.is_set()
                 or (batch + 1) % (S * checkpoint_interval) == 0
             ):
-                pending.drain(recorder, log_fn)
-                pending = None
+                if pending is not None:
+                    pending.drain(recorder, log_fn)
+                    pending = None
                 save_checkpoint(
                     data, params, state, opt_state, recorder, model_id,
                     weight_dir,
