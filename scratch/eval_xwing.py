@@ -35,11 +35,19 @@ demo = cv2.cvtColor(cv2.imread(DEMO_IMG), cv2.COLOR_BGR2RGB)
 
 
 def run(det, tag):
-    res = det.detect([demo], conf_thr=0.5, nms_thr=0.4, dim=416)[0]
+    # From-scratch nets (no pretrained backbone) calibrate conf slowly;
+    # draw at 0.25 and report the raw score distribution for the record.
+    res = det.detect([demo], conf_thr=0.25, nms_thr=0.4, dim=416)[0]
     save_detections_image(demo, res, f"{OUT}/det_{tag}.png", NAMES)
-    print(f"[{tag}] demo {os.path.basename(DEMO_IMG)}: "
+    print(f"[{tag}] demo {os.path.basename(DEMO_IMG)} (conf 0.25): "
           f"{[(NAMES[int(r[0])], round(float(r[5]), 3)) for r in res]}",
           flush=True)
+    low = det.detect([demo], conf_thr=0.01, nms_thr=0.4, dim=416)[0]
+    top = sorted(low, key=lambda r: -float(r[5]))[:5]
+    print(f"[{tag}] top-5 raw: "
+          f"{[(NAMES[int(r[0])], round(float(r[5]), 3)) for r in top]}",
+          flush=True)
+    os.makedirs(f"/tmp/xwing_eval/wd_{tag}", exist_ok=True)
     mAP = evaluate_detector(det, LIST, NAMES, f"/tmp/xwing_eval/wd_{tag}",
                             batch_size=8, dim=416, is_letterbox=True)
     with open(f"{OUT}/eval_{tag}.json", "w") as f:

@@ -1,6 +1,8 @@
 """Multi-host bootstrap glue: process context, sharded data -> identical
 training, mesh-shape checkpoint contract (SURVEY §2.3)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -164,6 +166,65 @@ class TestShardedTrainingParity:
         for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4)
+
+
+class TestRealTwoProcess:
+    def test_two_process_train_step_matches_single(self, tmp_path):
+        """REAL multi-process bring-up: two OS processes, localhost
+        coordinator, `jax.distributed.initialize` via the env-var path
+        (distributed.py:67-75 — dead code in every in-process test), a
+        global 2-device CPU mesh, one DP train step with each process
+        feeding its local half of the batch.  Params after the step must
+        match the single-process run of the same global batch: the psum
+        gradient all-reduce rode the cross-process collective."""
+        import socket
+        import subprocess
+        import sys
+
+        worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "dist_worker.py")
+        with socket.socket() as s:  # free localhost port
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        base = dict(os.environ, JAX_PLATFORMS="cpu",
+                    XLA_FLAGS="--xla_force_host_platform_device_count=1",
+                    PYTHONPATH=repo + os.pathsep
+                    + os.environ.get("PYTHONPATH", ""))
+        base.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU tunnel in children
+
+        def spawn(pid, out):
+            env = dict(base, JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                       JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid))
+            return subprocess.Popen(
+                [sys.executable, worker, out], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+        got_npz = str(tmp_path / "got.npz")
+        procs = [spawn(0, got_npz), spawn(1, got_npz)]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        assert all(p.returncode == 0 for p in procs), (
+            f"worker failed:\nproc0:\n{outs[0]}\nproc1:\n{outs[1]}")
+
+        want_npz = str(tmp_path / "want.npz")
+        r = subprocess.run([sys.executable, worker, want_npz], env=base,
+                           capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stdout + r.stderr
+
+        got, want = np.load(got_npz), np.load(want_npz)
+        assert set(got.files) == set(want.files)
+        for k in want.files:
+            # cross-process psum reorders float reductions; bound drift
+            np.testing.assert_allclose(got[k], want[k], atol=2e-4)
 
 
 class TestCheckpointMeshShape:

@@ -218,3 +218,86 @@ class TestSpaceToDepthStem:
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=2e-3, atol=3e-4)
+
+
+class TestS2dTrainingEntry:
+    """apply_s2d_entry_train == the plain train-mode entry: activations, BN
+    running-stat updates, AND gradients on the master weights (VERDICT r2
+    item 4: the serving path's tiny-channel fix folded into training)."""
+
+    def test_forward_and_state_match_plain(self, tiny_net, rng):
+        params, state = tiny_net
+        x = jnp.asarray(rng.uniform(0, 1, (2, 96, 96, 3)).astype(np.float32))
+        want, want_st = D.apply_yolonet(params, state, x, training=True)
+        got, got_st = D.apply_yolonet(params, state, x, training=True,
+                                      s2d_entry=True)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=2e-3, atol=3e-4)
+        assert jax.tree.structure(got_st) == jax.tree.structure(want_st)
+        for g, w in zip(jax.tree.leaves(got_st), jax.tree.leaves(want_st)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_entry_gradients_exact(self, tiny_net, rng):
+        """Gradients THROUGH the s2d entry alone equal the plain chain's to
+        fp32 reassociation (~1e-5 relative) — the remap gathers scatter-add
+        each tap's 4 sub-position contributions back onto the master weight
+        and the pooled BN statistics backprop identically."""
+        params, state = tiny_net
+        bk, bs = params["backbone"], state["backbone"]
+        x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+
+        def plain(bk):
+            y, _ = D.conv_bn_leaky(bk["stem"], bs["stem"], x, 1, True)
+            y, _ = D.conv_bn_leaky(bk["stage0"]["down"],
+                                   bs["stage0"]["down"], y, 2, True)
+            r, _ = D.conv_bn_leaky(bk["stage0"]["res0"]["conv1"],
+                                   bs["stage0"]["res0"]["conv1"], y, 1, True)
+            r, _ = D.conv_bn_leaky(bk["stage0"]["res0"]["conv2"],
+                                   bs["stage0"]["res0"]["conv2"], r, 1, True)
+            y = y + r
+            y, _ = D.conv_bn_leaky(bk["stage1"]["down"],
+                                   bs["stage1"]["down"], y, 2, True)
+            return (y * jnp.sin(jnp.arange(y.size).reshape(y.shape))).sum()
+
+        def s2d(bk):
+            y, _ = D.apply_s2d_entry_train(bk, bs, x, True)
+            return (y * jnp.sin(jnp.arange(y.size).reshape(y.shape))).sum()
+
+        for g, w in zip(jax.tree.leaves(jax.grad(s2d)(bk)),
+                        jax.tree.leaves(jax.grad(plain)(bk))):
+            g, w = np.asarray(g), np.asarray(w)
+            scale = max(np.max(np.abs(w)), 1.0)
+            np.testing.assert_allclose(g, w, rtol=0, atol=2e-5 * scale)
+
+    def test_full_net_gradient_direction(self, tiny_net, rng):
+        """End-to-end loss gradients: the ~3e-4 forward reassociation delta
+        at the entry exit amplifies chaotically through 50 train-mode-BN
+        layers of a random-init net (~2% per-leaf L2 drift measured), so the
+        meaningful full-net contract is direction + magnitude: global cosine
+        > 0.999 and gradient-norm ratio within 0.5%."""
+        from yolo_v3_tpu.train.step import loss_fn
+        from yolo_v3_tpu.utils.config import YoloConfig
+
+        params, state = tiny_net
+        cfg = YoloConfig(num_classes=2, img_dim=96)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 96, 96, 3)).astype(np.float32))
+        labels = np.zeros((2, 30, 5), np.float32)
+        labels[0, 0] = [0, 0.5, 0.5, 0.4, 0.3]
+        labels[1, 0] = [1, 0.3, 0.6, 0.2, 0.5]
+        labels = jnp.asarray(labels)
+
+        def flat_grad(s2d):
+            g = jax.grad(
+                lambda p: loss_fn(p, state, x, labels, cfg,
+                                  s2d_entry=s2d)[0])(params)
+            return np.concatenate(
+                [np.asarray(l, np.float64).ravel()
+                 for l in jax.tree.leaves(g)])
+
+        a, b = flat_grad(True), flat_grad(False)
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        ratio = np.linalg.norm(a) / np.linalg.norm(b)
+        assert cos > 0.999, cos
+        assert abs(ratio - 1) < 5e-3, ratio

@@ -111,6 +111,7 @@ def cmd_train(args):
         seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         remat=args.remat,
+        s2d_entry=args.s2d_entry,
         burn_in=args.burn_in,
         lr_steps=tuple(int(s) for s in args.lr_steps.split(","))
         if args.lr_steps else (),
@@ -307,6 +308,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in backward (activation "
                         "memory ~ layer peak; enables large-batch 608)")
+    t.add_argument("--s2d-entry", action="store_true",
+                   help="compute the entry convs (stem..stage1.down) in the "
+                        "space-to-depth domain: same math and gradients, "
+                        "full MXU lanes on the tiny-channel convs")
     t.add_argument("--hue", type=float, default=0.1)
     t.add_argument("--saturation", type=float, default=1.5)
     t.add_argument("--exposure", type=float, default=1.5)

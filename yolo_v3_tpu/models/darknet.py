@@ -247,18 +247,36 @@ def _num_stages(backbone_params: Params) -> int:
 
 
 def apply_backbone(
-    params: Params, state: State, x: jnp.ndarray, training: bool = False
+    params: Params, state: State, x: jnp.ndarray, training: bool = False,
+    s2d_entry: bool = False,
 ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], State]:
     """Run Darknet-53; return the three route tensors (c3, c4, c5) at strides
     (8, 16, 32) — the functional replacement for cached cfg layers 36/61 and
-    the final output (reference darknet.py:83-88, 180-181)."""
+    the final output (reference darknet.py:83-88, 180-181).
+
+    ``s2d_entry=True`` computes stem + stage0 + stage1.down in the 2x2
+    space-to-depth domain (``apply_s2d_entry_train``) — same numbers, full
+    TPU lanes on the tiny-channel entry convs."""
     new_state: State = {}
-    y, new_state["stem"] = conv_bn_leaky(params["stem"], state["stem"], x, 1, training)
     routes: List[jnp.ndarray] = []
-    for i in range(_num_stages(params)):
+    start_stage = 0
+    if s2d_entry:
+        assert _stage_blocks(params["stage0"]) == 1, \
+            "s2d entry covers exactly stage0's single residual block"
+        y, entry_state = apply_s2d_entry_train(params, state, x, training)
+        new_state["stem"] = entry_state["stem"]
+        new_state["stage0"] = entry_state["stage0"]
+        start_stage = 1
+    else:
+        y, new_state["stem"] = conv_bn_leaky(
+            params["stem"], state["stem"], x, 1, training)
+    for i in range(start_stage, _num_stages(params)):
         sp, ss = params[f"stage{i}"], state[f"stage{i}"]
         ns: State = {}
-        y, ns["down"] = conv_bn_leaky(sp["down"], ss["down"], y, 2, training)
+        if s2d_entry and i == 1:
+            ns["down"] = entry_state["stage1_down"]  # computed in the entry
+        else:
+            y, ns["down"] = conv_bn_leaky(sp["down"], ss["down"], y, 2, training)
         for b in range(_stage_blocks(sp)):
             y, ns[f"res{b}"] = _res_block(sp[f"res{b}"], ss[f"res{b}"], y, training)
         new_state[f"stage{i}"] = ns
@@ -300,6 +318,7 @@ def apply_yolonet(
     state: State,
     x: jnp.ndarray,
     training: bool = False,
+    s2d_entry: bool = False,
 ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], State]:
     """Full forward: NHWC image batch -> 3 raw head outputs, coarse first
     ([B,H/32,W/32,3*(5+C)], [B,H/16,...], [B,H/8,...]) + new BN state
@@ -308,7 +327,8 @@ def apply_yolonet(
     """
     new_state: State = {}
     (c3, c4, c5), new_state["backbone"] = apply_backbone(
-        params["backbone"], state["backbone"], x, training
+        params["backbone"], state["backbone"], x, training,
+        s2d_entry=s2d_entry,
     )
 
     det0, br0, new_state["head0"] = apply_head(params["head0"], state["head0"], c5, training)
@@ -584,21 +604,16 @@ def _down0_4_weights(w):
     return out
 
 
-def fold_space_to_depth(folded: Params) -> Params:
-    """Add 's2d' remapped weights covering stem + ALL of stage0 + stage1's
-    downsample, so every tensor before stage1 has >=128 channels."""
+def _s2d_stem_weights(w):
+    """stem 3x3/s1 conv on the (1,3)x(1,3)-padded 2x2-block image:
+    [3,3,cin,c1] -> [3,3,4cin,4c1] VALID conv over blocks; the +1 row/col
+    shift from the pad moves the tap blocks to I..I+2, hence P=(t+1)//2
+    with no block-space padding."""
     import numpy as np
 
-    bk = folded["backbone"]
-    stem_w = np.asarray(bk["stem"]["w"], np.float32)                 # [3,3,3,32]
-    stem_b = np.asarray(bk["stem"]["b"], np.float32)
-    c1 = stem_w.shape[3]
-    cin = stem_w.shape[2]
-
-    # stem': [3,3,12,128] VALID conv over blocks of x padded (1,3)x(1,3);
-    # the +1 row/col shift from the pad moves the tap blocks to I..I+2,
-    # hence P=(t+1)//2 with no block-space padding.
-    w_stem = np.zeros((3, 3, 4 * cin, 4 * c1), np.float32)
+    w = np.asarray(w, np.float32)
+    cin, c1 = w.shape[2], w.shape[3]
+    out = np.zeros((3, 3, 4 * cin, 4 * c1), np.float32)
     for dy in range(2):
         for dx in range(2):
             for u in range(3):
@@ -608,7 +623,19 @@ def fold_space_to_depth(folded: Params) -> Params:
                     Q, bx = (s + 1) // 2, (s + 1) % 2
                     ci = (by * 2 + bx) * cin
                     co = (dy * 2 + dx) * c1
-                    w_stem[P, Q, ci:ci + cin, co:co + c1] = stem_w[u, v]
+                    out[P, Q, ci:ci + cin, co:co + c1] = w[u, v]
+    return out
+
+
+def fold_space_to_depth(folded: Params) -> Params:
+    """Add 's2d' remapped weights covering stem + ALL of stage0 + stage1's
+    downsample, so every tensor before stage1 has >=128 channels."""
+    import numpy as np
+
+    bk = folded["backbone"]
+    stem_w = np.asarray(bk["stem"]["w"], np.float32)                 # [3,3,3,32]
+    stem_b = np.asarray(bk["stem"]["b"], np.float32)
+    w_stem = _s2d_stem_weights(stem_w)
 
     s0 = bk["stage0"]
     s1 = bk["stage1"]
@@ -690,6 +717,145 @@ def _apply_s2d_entry(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     y = y + r                                      # s2d residual add
     # exit the s2d domain through stage1's downsample
     return _conv_s2d(sp["down1"], y, padding=((1, 0), (1, 0)))
+
+
+# ---------------------------------------------------------------------------
+# Training-path s2d entry.
+#
+# The serving path's space-to-depth entry (above) folds BN into the conv and
+# remaps once on the host.  Training needs (a) gradients flowing back to the
+# ORIGINAL [3,3,cin,cout] master weights and (b) train-mode BatchNorm.  Both
+# fall out naturally:
+#
+# - every numpy remap above is a pure placement of input elements (disjoint
+#   block scatter), so applying it to a position-index array yields a gather
+#   table; the traced remap `w.reshape(-1)[idx] * mask` is then exact and
+#   differentiable (autodiff scatter-adds the 4 appearances of each tap back
+#   onto the master weight);
+# - the s2d output channels are the original channels replicated over the 4
+#   spatial sub-positions, each sub-position seeing exactly 1/4 of the
+#   original spatial positions — so reshaping [B,H,W,4c] -> [B,H,W,4,c] and
+#   reducing over (0,1,2,3) computes BN statistics over the *identical
+#   element set* as the plain path: train-mode BN (and its running-stat
+#   updates) match the reference semantics exactly.
+# ---------------------------------------------------------------------------
+
+_REMAP_TABLE_CACHE: dict = {}
+
+
+def _remap_table(np_remap, shape):
+    """(gather idx, mask) realizing ``np_remap`` as w.flat[idx] * mask.
+
+    Built by running the numpy remap on a 1-based position encoding; valid
+    because every remap above writes disjoint slices of its output (each
+    output element is one input element or structural zero)."""
+    import numpy as np
+
+    key = (np_remap.__name__, tuple(shape))
+    hit = _REMAP_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    size = int(np.prod(shape))
+    assert size < (1 << 24), "position encoding must stay exact in float32"
+    pos = np.arange(1, size + 1, dtype=np.float32).reshape(shape)
+    out_pos = np.asarray(np_remap(pos))
+    idx = np.maximum(out_pos.astype(np.int64) - 1, 0)
+    mask = (out_pos != 0).astype(np.float32)
+    _REMAP_TABLE_CACHE[key] = (idx, mask)
+    return idx, mask
+
+
+def _remap_traced(w, np_remap):
+    """Differentiable (traced) version of a numpy weight remap."""
+    idx, mask = _remap_table(np_remap, w.shape)
+    return w.reshape(-1)[idx] * jnp.asarray(mask, w.dtype)
+
+
+def _conv_bn_leaky_s2d(
+    p: Params,
+    s: State,
+    x: jnp.ndarray,
+    w_s2d: jnp.ndarray,
+    groups: int,
+    stride: int = 1,
+    padding=((0, 0), (0, 0)),
+    training: bool = False,
+) -> Tuple[jnp.ndarray, State]:
+    """conv_bn_leaky computed in the space-to-depth domain: the conv uses the
+    remapped weight ``w_s2d`` (out channels = groups x original), BN uses the
+    ORIGINAL per-channel parameters/state from ``p``/``s`` with statistics
+    pooled across the ``groups`` sub-positions (exactly the plain path's
+    element set — see block comment above)."""
+    y = lax.conv_general_dilated(
+        x, w_s2d, (stride, stride), padding, dimension_numbers=_DN,
+    ).astype(jnp.float32)
+    b, h, w, ch = y.shape
+    c = ch // groups
+    yv = y.reshape(b, h, w, groups, c)
+    if training:
+        mean = jnp.mean(yv, axis=(0, 1, 2, 3))
+        var = jnp.var(yv, axis=(0, 1, 2, 3))
+        n = b * h * w * groups
+        unbiased = var * (n / max(n - 1, 1))
+        new_s = {
+            "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    inv = lax.rsqrt(var + BN_EPS) * p["bn"]["scale"]
+    yv = (yv - mean) * inv + p["bn"]["bias"]
+    y = yv.reshape(b, h, w, ch)
+    y = jnp.where(y > 0, y, LEAKY_SLOPE * y)
+    return y.astype(x.dtype), new_s
+
+
+def apply_s2d_entry_train(
+    params: Params, state: State, x: jnp.ndarray, training: bool = False
+) -> Tuple[jnp.ndarray, State]:
+    """Training forward of stem + stage0 + stage1.down in the 2x2 s2d domain.
+
+    Numerically equal (fp32 reassociation aside) to the plain-conv entry of
+    ``apply_backbone`` — same activations out, same BN running-stat updates,
+    same gradients on the master weights — but every tensor carries >=128
+    channels, killing the tiny-channel MXU starvation the serving path
+    already eliminated (reference hot path train.py:21-102 has no
+    counterpart: this is TPU lane economics)."""
+    bk, bs = params, state
+    s0, s0s = bk["stage0"], bs["stage0"]
+    s1, s1s = bk["stage1"], bs["stage1"]
+
+    xp = jnp.pad(x, ((0, 0), (1, 3), (1, 3), (0, 0)))
+    xb = _space_to_depth2(xp)                      # [B, H/2+2, W/2+2, 12]
+    y, st_stem = _conv_bn_leaky_s2d(
+        bk["stem"], bs["stem"], xb,
+        _remap_traced(bk["stem"]["w"], _s2d_stem_weights), 4,
+        training=training)                         # [H/2, W/2, 128]
+    y, st_d0 = _conv_bn_leaky_s2d(
+        s0["down"], s0s["down"], y,
+        _remap_traced(s0["down"]["w"], _s2d_3x3_s2_weights), 4,
+        stride=2, padding=((1, 1), (1, 1)), training=training)
+    r, st_r1 = _conv_bn_leaky_s2d(
+        s0["res0"]["conv1"], s0s["res0"]["conv1"], y,
+        _remap_traced(s0["res0"]["conv1"]["w"], _s2d_1x1_weights), 4,
+        training=training)
+    r, st_r2 = _conv_bn_leaky_s2d(
+        s0["res0"]["conv2"], s0s["res0"]["conv2"], r,
+        _remap_traced(s0["res0"]["conv2"]["w"], _s2d_3x3_s1_weights), 4,
+        padding=((1, 1), (1, 1)), training=training)
+    y = y + r
+    y, st_d1 = _conv_bn_leaky_s2d(
+        s1["down"], s1s["down"], y,
+        _remap_traced(s1["down"]["w"], _s2d_3x3_s2_exit_weights), 1,
+        padding=((1, 0), (1, 0)), training=training)
+    entry_state = {
+        "stem": st_stem,
+        "stage0": {"down": st_d0,
+                   "res0": {"conv1": st_r1, "conv2": st_r2}},
+        "stage1_down": st_d1,
+    }
+    return y, entry_state
 
 
 # ---------------------------------------------------------------------------

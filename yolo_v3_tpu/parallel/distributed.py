@@ -92,6 +92,37 @@ def make_data_helper(dataset, sampler, ctx: ProcessContext, **kw):
                       n_hosts=max(ctx.num_processes, 1), **kw)
 
 
+def shard_train_inputs_global(mesh, imgs_local, labels_local):
+    """Multi-process analog of ``mesh.shard_train_inputs``: each process
+    passes its LOCAL shard of the net-batch (what ``make_data_helper``
+    hands it) and gets back global jax.Arrays spanning every process's
+    devices.  ``device_put`` can only target addressable devices, so the
+    global arrays are assembled from the per-process pieces.  Works
+    unchanged (and is the preferred entry) in single-process runs."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x, spec):
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return (put(imgs_local, P(None, M.DATA_AXIS)),
+            put(labels_local, P(None, M.DATA_AXIS)))
+
+
+def replicate_global(mesh, tree):
+    """Replicate a host pytree (identical on every process — params, BN
+    state, optimizer state) onto all devices of a multi-process mesh."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree,
+    )
+
+
 def assert_mesh_compatible(mesh, ckpt_mesh_shape) -> None:
     """Resume guard: the data-axis size must match the checkpointed run (the
     global batch layout depends on it); the space axis may differ."""

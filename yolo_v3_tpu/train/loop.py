@@ -89,7 +89,8 @@ def _optimizer_and_step(params, config: YoloConfig, tcfg: TrainConfig):
         )
         tx = make_optimizer(params, tcfg)
         hit = (tx, make_train_step(config, tx, compute_dtype=compute_dtype,
-                                   remat=tcfg.remat))
+                                   remat=tcfg.remat,
+                                   s2d_entry=tcfg.s2d_entry))
         _STEP_CACHE[key] = hit
     return hit
 

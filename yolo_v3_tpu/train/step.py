@@ -33,7 +33,7 @@ from yolo_v3_tpu.utils.config import YoloConfig
 
 
 def loss_fn(params, state, imgs, labels, config: YoloConfig,
-            compute_dtype=jnp.float32):
+            compute_dtype=jnp.float32, s2d_entry: bool = False):
     """Forward + loss on one mini-batch; returns (loss, (stats, new_state)).
 
     ``compute_dtype=bfloat16`` gives mixed-precision training: activations
@@ -49,22 +49,27 @@ def loss_fn(params, state, imgs, labels, config: YoloConfig,
         imgs = imgs.astype(compute_dtype)
     else:
         params_c = params
-    raws, new_state = D.apply_yolonet(params_c, state, imgs, training=True)
+    raws, new_state = D.apply_yolonet(params_c, state, imgs, training=True,
+                                      s2d_entry=s2d_entry)
     loss, stats = yolo_loss(raws, labels, config, imgs.shape[1])
     return loss, (stats, new_state)
 
 
 def make_train_step(config: YoloConfig, tx: optax.GradientTransformation,
-                    compute_dtype=jnp.float32, remat: bool = False):
+                    compute_dtype=jnp.float32, remat: bool = False,
+                    s2d_entry: bool = False):
     """Build a jittable net-batch step.
 
     Inputs: ``imgs`` [S, B, H, W, 3], ``labels`` [S, B, T, 5] where S is the
     subdivision count (S=1 means no accumulation).  Stats are averaged over
-    subdivisions (reference train.py:74).
+    subdivisions (reference train.py:74).  ``s2d_entry`` runs the
+    tiny-channel entry convs in the space-to-depth domain (same math, full
+    MXU lanes — see darknet.apply_s2d_entry_train).
     """
 
     base = functools.partial(loss_fn, config=config,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype,
+                             s2d_entry=s2d_entry)
     if remat:
         # recompute the forward during the backward pass instead of saving
         # activations: memory ~ layer peak, gradients bitwise identical

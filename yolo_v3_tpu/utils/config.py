@@ -133,6 +133,10 @@ class TrainConfig:
     # enabler for large-batch 608 training within one chip's HBM.  Same
     # graph recomputed, so gradients don't move (tests/test_train_step.py).
     remat: bool = False
+    # run stem + stage0 + stage1.down in the space-to-depth domain (same
+    # math/gradients — darknet.apply_s2d_entry_train; kills the tiny-channel
+    # MXU starvation on the training path like the serving path's fix)
+    s2d_entry: bool = False
 
     # LR schedule in net-batches: darknet's COCO recipe (which the reference
     # checkpoint format reserves a scheduler slot for, reference
