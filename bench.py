@@ -307,6 +307,23 @@ def main():
         results["train_ms_per_step_bs64_416"] = round(ms, 2)
         results["train_imgs_per_sec_bs64_416"] = round(B64 / ms * 1e3, 1)
 
+        # same point with the s2d-folded entry on the training forward
+        # (TrainConfig.s2d_entry): kills the 3-channel stem tax every step
+        _log("train step bf16 bs64 dim 416 s2d entry")
+        step_s2d = make_train_step(config, tx, compute_dtype=jnp.bfloat16,
+                                   s2d_entry=True)
+        opt_state = tx.init(params)
+        p, s, o, st = step_s2d(params, state, opt_state, imgs, labels64)
+        _sync(st)
+        t0 = time.perf_counter()
+        for _ in range(8):
+            p, s, o, st = step_s2d(p, s, o, imgs, labels64)
+        _sync(st)
+        ms_s2d = (time.perf_counter() - t0) / 8 * 1e3
+        results["train_ms_per_step_bs64_416_s2d"] = round(ms_s2d, 2)
+        results["train_imgs_per_sec_bs64_416_s2d"] = round(
+            B64 / ms_s2d * 1e3, 1)
+
     results["best_path"] = best_path
     print(json.dumps({
         # best measured serving configuration; precision/batch recorded in

@@ -49,6 +49,30 @@ class TestTrainStep:
             losses.append(float(stats["loss"]))
         assert losses[-1] < losses[0]
 
+    def test_uint8_feed_matches_float32(self, net, rng):
+        """uint8 imgs + device-side /255 == host-side f32 /255 to within
+        1 ulp per pixel (XLA lowers the divide to a reciprocal multiply,
+        numpy true-divides); the u8 feed is a transport optimization, not
+        a numerics change."""
+        params, state = net
+        tx, step = _optimizer_and_step(params, CFG, TCFG)
+        opt_state = tx.init(params)
+        u8 = rng.integers(0, 256, (2, 2, 64, 64, 3), dtype=np.uint8)
+        f32 = u8.astype(np.float32) / 255.0
+        _, labels = tiny_batch(rng)
+        p_u8, s_u8, _, st_u8 = step(params, state, opt_state,
+                                    jnp.asarray(u8), labels)
+        p_f32, s_f32, _, st_f32 = step(params, state, opt_state,
+                                       jnp.asarray(f32), labels)
+        np.testing.assert_allclose(float(st_u8["loss"]),
+                                   float(st_f32["loss"]), rtol=1e-5)
+        # post-step params: the 1-ulp pixel delta flows through bf16
+        # gradients, so a handful of elements drift by O(1e-5) absolute
+        for a, b in zip(jax.tree.leaves(p_u8), jax.tree.leaves(p_f32)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=1e-4, atol=5e-5)
+
     def test_scan_accumulation_equals_manual_loop(self, net, rng):
         """The fused scan step == python-loop micro-batch accumulation +
         one optimizer apply (the reference's subdivision contract,

@@ -119,11 +119,15 @@ def cmd_train(args):
         if args.lr_steps else (),
     )
 
+    if args.feed_u8 and not args.no_aug:
+        raise SystemExit("--feed-u8 requires --no-aug (the float aug "
+                         "pipeline does not preserve uint8)")
     if args.no_aug:
         # the reference's custom-data run trains WITHOUT augmentation
         # (isAug=False -> letterbox+tensorize only,
         # reference custom_data_train.ipynb cells 6/10)
-        trans = lambda dim: T.eval_transform(dim, max_labels=cfg.max_labels)
+        trans = lambda dim: T.eval_transform(dim, max_labels=cfg.max_labels,
+                                             feed_u8=args.feed_u8)
     else:
         trans = lambda dim: T.training_transform(
             dim, hue=args.hue, saturation=args.saturation,
@@ -323,6 +327,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "run's isAug=False)")
     t.add_argument("--cache", action="store_true",
                    help="RAM-cache finalized samples (requires --no-aug)")
+    t.add_argument("--feed-u8", action="store_true",
+                   help="feed uint8 pixels to the train step (device-side "
+                        "/255; lossless, 4x less host->device traffic; "
+                        "requires --no-aug)")
     t.add_argument("--metrics-jsonl", default=None,
                    help="append per-net-batch raw stats to this JSONL file")
     t.add_argument("--burn-in", type=int, default=0,

@@ -60,13 +60,19 @@ class ToArray:
     """Finalize sample: HWC float32 [0,1] image + fixed-shape label
     (reference ToTensor, transforms.py:25-43, minus the CHW permute)."""
 
-    def __init__(self, max_labels: int = 90, max_label_cols: int = 5):
+    def __init__(self, max_labels: int = 90, max_label_cols: int = 5,
+                 keep_uint8: bool = False):
         self.max_labels = max_labels
         self.max_label_cols = max_label_cols
+        # keep_uint8 leaves the image as uint8 for a device-side /255
+        # (train/step.py normalizes in f32 on device — lossless, 4x less
+        # host->device traffic).  Only valid when every upstream transform
+        # preserved uint8 (letterbox/resize do; float augs don't).
+        self.keep_uint8 = keep_uint8
 
     def __call__(self, sample: Sample) -> Sample:
         img = sample.get("img")
-        if img is not None and img.dtype == np.uint8:
+        if img is not None and img.dtype == np.uint8 and not self.keep_uint8:
             img = img.astype(np.float32) / 255.0
         sample["img"] = img
         sample["label"] = fill_label(
@@ -344,7 +350,12 @@ def training_transform(dim: Tuple[int, int], hue=0.1, saturation=1.5,
 
 
 def eval_transform(dim: Tuple[int, int], letterbox: bool = True,
-                   max_labels: int = 90) -> Compose:
-    """The reference eval pipeline (reference evaluate.py:210-213)."""
+                   max_labels: int = 90, feed_u8: bool = False) -> Compose:
+    """The reference eval pipeline (reference evaluate.py:210-213).
+
+    ``feed_u8`` keeps the letterboxed image uint8 so the training step
+    normalizes on device (lossless; cuts host->device bytes 4x).
+    """
     resize = Letterbox(dim) if letterbox else Resize(dim)
-    return Compose([resize, ToArray(max_labels=max_labels)])
+    return Compose([resize, ToArray(max_labels=max_labels,
+                                    keep_uint8=feed_u8)])

@@ -15,11 +15,16 @@ contract (train.py:24-28, 86-88).
 
 from __future__ import annotations
 
+import os
 import signal
 import sys
 import threading
 import time
 from typing import Callable, Dict, Optional
+
+# Per-net-batch stage timing (data assembly / step dispatch / stats drain),
+# logged through log_fn when YOLO_TPU_TRAIN_TIMING=1.  Zero-cost when off.
+_TRAIN_TIMING = os.environ.get("YOLO_TPU_TRAIN_TIMING", "") == "1"
 
 import numpy as np
 import jax
@@ -162,6 +167,7 @@ def train(
     micro_imgs, micro_labels = [], []
     pending: Optional[_PendingStats] = None
     t_start = time.time()
+    t_mark = time.time()
     for sample in data:
         micro_imgs.append(sample["img"])
         micro_labels.append(sample["label"])
@@ -176,7 +182,9 @@ def train(
                     "to a multiple of batch_size * net_subdivisions"
                 )
             imgs = np.stack(micro_imgs)
-            if imgs.dtype != np.float32:
+            # uint8 rides to the device as-is (the step normalizes on
+            # device); anything else is finalized to float32 here.
+            if imgs.dtype not in (np.float32, np.uint8):
                 imgs = imgs.astype(np.float32)
             labels = np.stack(micro_labels)
             if labels.dtype != np.float32:
@@ -188,9 +196,11 @@ def train(
 
                 imgs, labels = M.shard_train_inputs(mesh, imgs, labels)
 
+            t_data_done = time.time()
             params, state, opt_state, stats = step(
                 params, state, opt_state, imgs, labels
             )
+            t_dispatch_done = time.time()
 
             # Stats come back as ONE packed device vector = one readback
             # RTT instead of nine.  By default the drain happens right here
@@ -211,6 +221,16 @@ def train(
             if not pipeline_stats:
                 pending.drain(recorder, log_fn)
                 pending = None
+            if _TRAIN_TIMING:
+                now = time.time()
+                log_fn(
+                    f"[timing] nb {data.get_net_batch()}: "
+                    f"data {t_data_done - t_mark:.2f}s "
+                    f"dispatch {t_dispatch_done - t_data_done:.2f}s "
+                    f"drain {now - t_dispatch_done:.2f}s "
+                    f"total {now - t_mark:.2f}s"
+                )
+                t_mark = now
 
             # Checkpoint every checkpoint_interval net-batches; batch+1 is
             # always S-aligned here (the scan step consumes S mini-batches).

@@ -44,6 +44,13 @@ def loss_fn(params, state, imgs, labels, config: YoloConfig,
     reference exactly; bf16 is ~3x faster on TPU (fp32 matmuls run as
     multi-pass bf16).
     """
+    if imgs.dtype == jnp.uint8:
+        # uint8 train feed: pixels cross host->device as raw bytes (4x less
+        # tunnel/PCIe traffic than float32) and normalize HERE, on device.
+        # Dividing in float32 first matches the host-side ToArray path to
+        # within 1 ulp per pixel (XLA lowers /255 to a reciprocal multiply;
+        # numpy performs a true divide) — tested in test_train_step.py.
+        imgs = imgs.astype(jnp.float32) / 255.0
     if compute_dtype != jnp.float32:
         params_c = jax.tree.map(lambda a: a.astype(compute_dtype), params)
         imgs = imgs.astype(compute_dtype)
