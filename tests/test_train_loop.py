@@ -132,6 +132,24 @@ class TestTrainLoop:
         for a, b in zip(leaves(s2), leaves(s_ref)):
             np.testing.assert_allclose(a, b, atol=2e-6)
 
+    def test_final_checkpoint_always_written(self, coco_dir, tmp_path):
+        """A run whose length is not checkpoint_interval-aligned still
+        leaves a checkpoint of the FINAL state (the reference's post-loop
+        weight save, train.py) — and its params equal the returned ones."""
+        init = D.init_yolonet(jax.random.PRNGKey(0), CFG.num_classes,
+                              blocks=(1, 1, 1, 1, 1))
+        wdir = str(tmp_path / "w")
+        p, s, _, _ = train(
+            make_data(coco_dir, 3), *jax.tree.map(jnp.array, init), CFG, TCFG,
+            model_id="t", weight_dir=wdir, checkpoint_interval=10_000,
+            log_fn=lambda s: None,
+        )
+        path, it = get_latest_checkpoint("t", wdir)
+        assert path is not None and it == 3
+        ckpt = load_checkpoint(path)
+        for a, b in zip(leaves(ckpt["params"]), leaves(p)):
+            np.testing.assert_array_equal(a, b)
+
     def test_checkpoint_gc(self, tmp_path):
         import os
 

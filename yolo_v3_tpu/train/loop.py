@@ -166,6 +166,7 @@ def train(
 
     micro_imgs, micro_labels = [], []
     pending: Optional[_PendingStats] = None
+    last_ckpt_batch = batch = -1
     t_start = time.time()
     t_mark = time.time()
     for sample in data:
@@ -248,6 +249,7 @@ def train(
                     mesh_shape=(mesh.devices.shape if mesh is not None
                                 else None),
                 )
+                last_ckpt_batch = batch
 
             if preempted.is_set():
                 if pending is not None:
@@ -262,6 +264,20 @@ def train(
 
     if pending is not None:
         pending.drain(recorder, log_fn)
+
+    # Always leave a checkpoint of the FINAL state: the reference saves
+    # final weights when training ends (train.py's post-loop save), and a
+    # run whose length isn't interval-aligned must not lose its tail.
+    # Compare against the in-loop batch counter: DataHelper's current_batch
+    # advances one past the last yielded micro-batch on exhaustion.
+    if (weight_dir is not None and last_ckpt_batch != batch
+            and micro_imgs == [] and batch >= 0):
+        save_checkpoint(
+            data, params, state, opt_state, recorder, model_id, weight_dir,
+            mesh_shape=(mesh.devices.shape if mesh is not None else None),
+        )
+        log_fn(f"[finish] final checkpoint at net_batch "
+               f"{recorder.net_batches_seen}")
 
     for sig, h in prev_handlers.items():
         signal.signal(sig, h)
