@@ -39,20 +39,22 @@ def run(det, tag):
     # draw at 0.25 and report the raw score distribution for the record.
     res = det.detect([demo], conf_thr=0.25, nms_thr=0.4, dim=416)[0]
     save_detections_image(demo, res, f"{OUT}/det_{tag}.png", NAMES)
+    demo_rows = [(NAMES[int(r[0])], round(float(r[5]), 3)) for r in res]
     print(f"[{tag}] demo {os.path.basename(DEMO_IMG)} (conf 0.25): "
-          f"{[(NAMES[int(r[0])], round(float(r[5]), 3)) for r in res]}",
-          flush=True)
+          f"{demo_rows}", flush=True)
     low = det.detect([demo], conf_thr=0.01, nms_thr=0.4, dim=416)[0]
     top = sorted(low, key=lambda r: -float(r[5]))[:5]
-    print(f"[{tag}] top-5 raw: "
-          f"{[(NAMES[int(r[0])], round(float(r[5]), 3)) for r in top]}",
-          flush=True)
+    top_rows = [(NAMES[int(r[0])], round(float(r[5]), 3)) for r in top]
+    print(f"[{tag}] top-5 raw: {top_rows}", flush=True)
     os.makedirs(f"/tmp/xwing_eval/wd_{tag}", exist_ok=True)
     mAP = evaluate_detector(det, LIST, NAMES, f"/tmp/xwing_eval/wd_{tag}",
                             batch_size=8, dim=416, is_letterbox=True)
     with open(f"{OUT}/eval_{tag}.json", "w") as f:
         json.dump({"mAP@0.5": mAP, "checkpoint": CKPT, "precision": tag,
-                   "n_images": len(paths)}, f, indent=1)
+                   "n_images": len(paths),
+                   "demo_image": os.path.basename(DEMO_IMG),
+                   "demo_detections_conf_0.25": demo_rows,
+                   "demo_top5_raw_conf": top_rows}, f, indent=1)
     print(f"[{tag}] mAP@0.5 = {mAP:.4f} on {len(paths)} training images",
           flush=True)
     return mAP
