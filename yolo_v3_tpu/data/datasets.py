@@ -34,9 +34,18 @@ def _read_image_rgb(path: str) -> np.ndarray:
 
 
 def image_path_to_label_path(img_path: str) -> str:
-    """COCO list convention: images->labels, jpg->txt
-    (reference dataset.py:178)."""
-    return img_path.replace("jpg", "txt").replace("images", "labels")
+    """COCO list layout contract: the label txt lives at the image path with
+    the LAST path component named ``images`` replaced by ``labels`` and the
+    extension replaced by ``.txt`` (reference dataset.py:178 — made safe: the
+    reference's blind ``str.replace("jpg","txt")/("images","labels")``
+    corrupts paths containing those substrings elsewhere and misses .jpeg/.png)."""
+    root, _ext = osp.splitext(img_path)
+    parts = root.split(os.sep)
+    for i in range(len(parts) - 1, -1, -1):
+        if parts[i] == "images":
+            parts[i] = "labels"
+            break
+    return os.sep.join(parts) + ".txt"
 
 
 class ListDataset:

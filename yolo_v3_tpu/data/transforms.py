@@ -99,7 +99,12 @@ def _labels_to_corners(label: np.ndarray, w: int, h: int) -> np.ndarray:
 
 def _corners_to_labels(corners: np.ndarray, w: int, h: int) -> np.ndarray:
     out = corners.copy()
-    x1, y1, x2, y2 = out[:, 1], out[:, 2], out[:, 3], out[:, 4]
+    # .copy() each column: bare out[:, i] would be VIEWS into out, and the
+    # out[:, 1]/out[:, 2] center writes below would corrupt x1/y1 before the
+    # w/h computation reads them (the round-3 label-size bug — every
+    # letterboxed/cropped label's w/h degenerated to corner/dim).
+    x1, y1, x2, y2 = (out[:, 1].copy(), out[:, 2].copy(),
+                      out[:, 3].copy(), out[:, 4].copy())
     out[:, 1], out[:, 2] = (x1 + x2) / 2 / w, (y1 + y2) / 2 / h
     out[:, 3], out[:, 4] = (x2 - x1) / w, (y2 - y1) / h
     return out.astype(np.float32)
@@ -113,6 +118,11 @@ def clip_and_filter_boxes(
     applied at area_thr=0.1 via iaa_run_seq, transforms.py:214-220)."""
     if len(corners) == 0:
         return corners
+    # float64 bounds regardless of the caller's int flavor: a np.int64 dim
+    # minus a float32 eps promotes to float64 while a Python int stays
+    # float32 (NEP 50) — a 1-ulp clip-bound skew that broke Python/native
+    # bit-parity on boxes clipped at the right/bottom edge.
+    w, h = float(w), float(h)
     eps = np.finfo(np.float32).eps
     x1 = np.clip(corners[:, 1], 0, w - eps)
     y1 = np.clip(corners[:, 2], 0, h - eps)

@@ -42,6 +42,7 @@ def create_annotations_dict(target_txt: str, class_names: Sequence[str]) -> Dict
         img_paths = [ln.strip() for ln in f if ln.strip()]
 
     img_list, ann_list = [], []
+    n_label_files = 0
     for img_path in img_paths:
         image_id = get_image_id_from_path(img_path)
         img = cv2.imread(img_path)
@@ -53,6 +54,7 @@ def create_annotations_dict(target_txt: str, class_names: Sequence[str]) -> Dict
         label_path = image_path_to_label_path(img_path)
         if not osp.exists(label_path):
             continue
+        n_label_files += 1
         labels = np.loadtxt(label_path).reshape(-1, 5)
         for row in labels:
             cx, cy, bw, bh = row[1] * w, row[2] * h, row[3] * w, row[4] * h
@@ -65,6 +67,15 @@ def create_annotations_dict(target_txt: str, class_names: Sequence[str]) -> Dict
                 "area": bbox[2] * bbox[3],
                 "bbox": bbox,
             }))
+
+    if img_paths and n_label_files == 0:
+        raise FileNotFoundError(
+            f"no label file resolved for ANY of the {len(img_paths)} images in "
+            f"{target_txt!r} (expected layout: .../images/<stem>.<ext> with "
+            f".../labels/<stem>.txt; first miss: "
+            f"{image_path_to_label_path(img_paths[0])!r}). Refusing to emit an "
+            "empty ground truth — mAP would silently score against nothing."
+        )
 
     return OrderedDict({
         "categories": create_categories(class_names),

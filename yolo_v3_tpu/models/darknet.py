@@ -37,6 +37,15 @@ DARKNET53_BLOCKS: Tuple[int, ...] = (1, 2, 8, 8, 4)
 LEAKY_SLOPE = 0.1
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.1  # torch BatchNorm2d default: new = (1-m)*old + m*batch
+# Trace-time override used by recalibrate_bn (BN re-estimation); None = use
+# BN_MOMENTUM.  A module global rather than a threaded argument because it
+# would have to pass through every apply_* signature for one maintenance-
+# time utility.
+_BN_MOMENTUM_OVERRIDE = None
+
+
+def _bn_momentum() -> float:
+    return BN_MOMENTUM if _BN_MOMENTUM_OVERRIDE is None else _BN_MOMENTUM_OVERRIDE
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
@@ -215,11 +224,17 @@ def conv_bn_leaky(
         mean = jnp.mean(y, axis=(0, 1, 2))
         var = jnp.var(y, axis=(0, 1, 2))
         n = y.shape[0] * y.shape[1] * y.shape[2]
-        # torch tracks *unbiased* variance in running stats.
-        unbiased = var * (n / max(n - 1, 1))
+        # torch tracks *unbiased* variance in running stats.  Under the
+        # recalibration override the biased variance is stored instead: the
+        # goal there is eval-mode == train-mode cascade exactly, and train
+        # mode normalizes with the biased variance (at tiny n the n/(n-1)
+        # factor is a real skew, e.g. 2x at a 1x1 grid with batch 2).
+        unbiased = (var * (n / max(n - 1, 1))
+                    if _BN_MOMENTUM_OVERRIDE is None else var)
+        m = _bn_momentum()
         new_s = {
-            "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
-            "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
+            "mean": (1 - m) * s["mean"] + m * mean,
+            "var": (1 - m) * s["var"] + m * unbiased,
         }
     else:
         mean, var = s["mean"], s["var"]
@@ -348,6 +363,43 @@ def apply_yolonet(
     det2, _, new_state["head2"] = apply_head(params["head2"], state["head2"], y, training)
 
     return (det0, det1, det2), new_state
+
+
+def recalibrate_bn(params: Params, state: State, batches) -> State:
+    """BN re-estimation: replace running statistics with the average batch
+    statistics of ``batches`` (an array or an iterable of [B,H,W,3] arrays),
+    measured in train-mode cascade.
+
+    Running stats updated with momentum 0.1 lag the activation distribution
+    whenever training is short or the loss is still moving fast (e.g. a
+    few-hundred-step fine-tune/overfit run: conf logits keep growing every
+    step, so the EMA never catches up and eval-mode inference diverges from
+    train-mode behavior).  The fix is standard: one pass over representative
+    data, writing the measured batch stats instead of EMA-ing them — the
+    cumulative-moving-average momentum 1/i makes the result the exact mean
+    of the per-batch statistics.  The reference never needs this because its
+    published runs train for >500k batches (reference README.md:111-120);
+    short custom-data runs (custom_data_train.ipynb) inherit torch's same
+    lag, so this is a deliberate capability addition, not a parity delta.
+    """
+    global _BN_MOMENTUM_OVERRIDE
+    if hasattr(batches, "shape"):
+        batches = [batches]
+    # momentum 1.0 makes the returned state the batch statistics exactly;
+    # averaging those per-batch states gives the mean batch stats.  One
+    # traced program regardless of batch count (a per-batch 1/i momentum
+    # would retrace per step — a compile per batch on the chip).
+    try:
+        _BN_MOMENTUM_OVERRIDE = 1.0
+        measure = jax.jit(
+            lambda p, s, x: apply_yolonet(p, s, x, training=True)[1]
+        )
+        states = [measure(params, state, jnp.asarray(x)) for x in batches]
+    finally:
+        _BN_MOMENTUM_OVERRIDE = None
+    if len(states) == 1:
+        return states[0]
+    return jax.tree.map(lambda *xs: sum(xs) / len(xs), *states)
 
 
 # ---------------------------------------------------------------------------
@@ -796,10 +848,13 @@ def _conv_bn_leaky_s2d(
         mean = jnp.mean(yv, axis=(0, 1, 2, 3))
         var = jnp.var(yv, axis=(0, 1, 2, 3))
         n = b * h * w * groups
-        unbiased = var * (n / max(n - 1, 1))
+        # biased var under the recalibration override (see conv_bn_leaky)
+        unbiased = (var * (n / max(n - 1, 1))
+                    if _BN_MOMENTUM_OVERRIDE is None else var)
+        m = _bn_momentum()
         new_s = {
-            "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
-            "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
+            "mean": (1 - m) * s["mean"] + m * mean,
+            "var": (1 - m) * s["var"] + m * unbiased,
         }
     else:
         mean, var = s["mean"], s["var"]
