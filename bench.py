@@ -82,9 +82,16 @@ def main():
     from yolo_v3_tpu.models import darknet as D
     from yolo_v3_tpu.ops.decode import decode_all
     from yolo_v3_tpu.ops.postprocess import postprocess_from_raws
+    from yolo_v3_tpu.utils import chiplock
     from yolo_v3_tpu.utils.config import YoloConfig
 
     from yolo_v3_tpu.models import quantized as Q
+
+    # serialize against long-running chip jobs (CLI training registers
+    # itself): a concurrent client corrupts every number below and starved
+    # the round-3 driver bench outright
+    if not chiplock.wait_until_free(timeout_s=1800.0, log=_log):
+        _log("proceeding despite a live chip job — numbers may be unusable")
 
     config = YoloConfig()
     params, state = D.init_yolonet(jax.random.PRNGKey(0), config.num_classes)

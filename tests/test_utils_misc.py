@@ -94,3 +94,31 @@ class TestConfig:
         cfg = YoloConfig(num_classes=20)
         assert cfg.bbox_attrib == 25
         assert cfg.num_scales == 3 and cfg.anchors_per_scale == 3
+
+
+class TestChipLock:
+    def test_acquire_release_and_wait(self, tmp_path, monkeypatch):
+        from yolo_v3_tpu.utils import chiplock as CL
+
+        monkeypatch.setattr(CL, "LOCK_PATH", str(tmp_path / "chip.lock"))
+        assert CL.holder() is None
+        assert CL.wait_until_free(timeout_s=0.1)
+        CL.acquire("test-job")
+        rec = CL.holder()
+        assert rec is not None and rec["pid"] == __import__("os").getpid()
+        assert not CL.wait_until_free(timeout_s=0.2, poll_s=0.05)
+        CL.release()
+        assert CL.holder() is None
+        assert CL.wait_until_free(timeout_s=0.1)
+
+    def test_stale_lock_reaped(self, tmp_path, monkeypatch):
+        import json
+
+        from yolo_v3_tpu.utils import chiplock as CL
+
+        monkeypatch.setattr(CL, "LOCK_PATH", str(tmp_path / "chip.lock"))
+        with open(CL.LOCK_PATH, "w") as f:
+            json.dump({"pid": 2 ** 22 + 12345, "tag": "dead", "since": 0}, f)
+        assert CL.holder() is None  # dead pid -> reaped
+        import os.path as osp
+        assert not osp.exists(CL.LOCK_PATH)
