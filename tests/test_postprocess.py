@@ -242,3 +242,72 @@ class TestOrderFreeNMS:
         got_s = order[np.asarray(sel_s)][np.asarray(val_s)]
         got_u = np.asarray(sel_u)[np.asarray(val_u)]
         np.testing.assert_array_equal(got_s, got_u)
+
+
+class TestSequentialNMS:
+    """nms_sequential (the dense-eval O(M*K) path) is exactly nms_fixed +
+    top-M — same picks, same order, same validity."""
+
+    def _random_candidates(self, seed, k, n_classes=6):
+        rng = np.random.default_rng(seed)
+        boxes = np.zeros((k, 4), np.float32)
+        boxes[:, 0:2] = rng.uniform(0, 380, (k, 2))
+        boxes[:, 2:4] = boxes[:, 0:2] + rng.uniform(10, 120, (k, 2))
+        cls = rng.integers(0, n_classes, k).astype(np.float32)
+        shifted = boxes + (cls * 8192.0)[:, None]
+        scores = rng.uniform(0, 1, k).astype(np.float32)
+        scores[rng.uniform(0, 1, k) < 0.3] = 0.0  # some invalid slots
+        order = np.argsort(-scores, kind="stable")
+        return shifted[order], scores[order]
+
+    @pytest.mark.parametrize("seed,k,m", [(0, 64, 16), (1, 256, 64),
+                                          (2, 1500, 128), (3, 300, 300)])
+    def test_matches_fixpoint(self, seed, k, m):
+        from yolo_v3_tpu.ops.postprocess import nms_fixed, nms_sequential
+
+        shifted, scores = self._random_candidates(seed, k)
+        sel_f, val_f = nms_fixed(jnp.asarray(shifted), jnp.asarray(scores),
+                                 0.45, m)
+        sel_s, val_s = nms_sequential(jnp.asarray(shifted),
+                                      jnp.asarray(scores), 0.45, m)
+        sel_f, val_f = np.asarray(sel_f), np.asarray(val_f)
+        sel_s, val_s = np.asarray(sel_s), np.asarray(val_s)
+        np.testing.assert_array_equal(val_s, val_f)
+        np.testing.assert_array_equal(sel_s[val_s], sel_f[val_f])
+
+    def test_unsorted_input(self):
+        """Sequential selection never needed sorted input; verify against
+        the order-free fixpoint on shuffled candidates."""
+        from yolo_v3_tpu.ops.postprocess import nms_fixed, nms_sequential
+
+        shifted, scores = self._random_candidates(7, 200)
+        perm = np.random.default_rng(0).permutation(200)
+        sh, sc = shifted[perm], scores[perm]
+        sel_f, val_f = nms_fixed(jnp.asarray(sh), jnp.asarray(sc), 0.45, 64,
+                                 presorted=False)
+        sel_s, val_s = nms_sequential(jnp.asarray(sh), jnp.asarray(sc),
+                                      0.45, 64)
+        np.testing.assert_array_equal(np.asarray(val_s), np.asarray(val_f))
+        np.testing.assert_array_equal(np.asarray(sel_s)[np.asarray(val_s)],
+                                      np.asarray(sel_f)[np.asarray(val_f)])
+
+    def test_eval_pipeline_uses_it_identically(self, rng):
+        """postprocess_from_raws eval output is unchanged by the NMS
+        algorithm switch (K=eval_pre_nms_topk >= _SEQ_NMS_MIN_K)."""
+        from yolo_v3_tpu.ops import postprocess as PP
+        from yolo_v3_tpu.utils.config import YoloConfig
+
+        cfg = YoloConfig(num_classes=3, img_dim=64, eval_pre_nms_topk=2048)
+        raws = [jnp.asarray(rng.normal(0, 1, (2, d, d, 3 * 8)).astype(np.float32))
+                for d in (2, 4, 8)]
+        out_auto = PP.postprocess_from_raws(raws, cfg, 64, conf_thr=0.005,
+                                            nms_thr=0.45, is_eval=True)
+        orig = PP._SEQ_NMS_MIN_K
+        PP._SEQ_NMS_MIN_K = 10 ** 9  # force the fixpoint path
+        try:
+            out_fix = PP.postprocess_from_raws(raws, cfg, 64, conf_thr=0.005,
+                                               nms_thr=0.45, is_eval=True)
+        finally:
+            PP._SEQ_NMS_MIN_K = orig
+        np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_fix),
+                                   atol=1e-5)

@@ -38,7 +38,8 @@ import numpy as np
 
 from yolo_v3_tpu.ops import boxes as B
 
-__all__ = ["postprocess", "nms_fixed", "detections_to_lists"]
+__all__ = ["postprocess", "nms_fixed", "nms_sequential",
+           "detections_to_lists"]
 
 # Larger than any supported input dimension (608) so class-offset boxes of
 # distinct classes can never intersect.
@@ -134,6 +135,65 @@ def nms_fixed(
     return out_idx.astype(jnp.int32), top_scores > 0.0
 
 
+def nms_sequential(
+    boxes_xyxy: jnp.ndarray,
+    scores: jnp.ndarray,
+    nms_thr: float,
+    max_detections: int,
+) -> tuple:
+    """Exact greedy NMS by M-step sequential selection — the dense-eval
+    variant of :func:`nms_fixed`.
+
+    Greedy NMS only ever emits the first ``max_detections`` survivors, so
+    for large K the fixpoint formulation wastes a [K, K] IoU matrix (at the
+    eval path's K=4096 that is 67 MB/image — measured 67 ms/batch64 p50 on
+    chip) on suppression relations among candidates that can never be
+    output.  This picks the best live candidate and kills its overlaps,
+    M times: O(M*K) work, no K x K materialization.  Identical output to
+    ``nms_fixed`` + top-M (ties break to the lower index, like argmax and
+    the stable sort): the m-th pick IS the m-th survivor of full greedy
+    suppression (reference utils.py:175-193 semantics).  Input need not be
+    score-sorted.  Returns (indices [M], valid [M]) in score order.
+    """
+    k = scores.shape[0]
+    m = min(max_detections, k)
+
+    def body(i, carry):
+        live, sel, valid = carry
+        j = jnp.argmax(live)
+        ok = live[j] > 0.0
+        iou_j = B.iou_matrix(boxes_xyxy[j][None, :], boxes_xyxy)[0]  # [K]
+        kill = (iou_j > nms_thr) | (jnp.arange(k) == j)
+        live = jnp.where(ok & kill, 0.0, live)
+        sel = sel.at[i].set(jnp.where(ok, j, 0).astype(jnp.int32))
+        valid = valid.at[i].set(ok)
+        return live, sel, valid
+
+    _, sel, valid = jax.lax.fori_loop(
+        0, m, body,
+        (scores, jnp.zeros((m,), jnp.int32), jnp.zeros((m,), bool)),
+    )
+    if m < max_detections:
+        pad = max_detections - m
+        sel = jnp.concatenate([sel, jnp.zeros((pad,), jnp.int32)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return sel, valid
+
+
+# Candidate counts at or above this use the sequential-selection NMS: the
+# fixpoint path's [K, K] IoU matrix dominates HBM time there, while at
+# display-path sizes (<=512) the matrix fits comfortably and converges in
+# fewer dispatch rounds than M sequential picks.
+_SEQ_NMS_MIN_K = 1024
+
+
+def _nms_auto(shifted, scores, nms_thr, max_detections, presorted=True):
+    if scores.shape[0] >= _SEQ_NMS_MIN_K:
+        return nms_sequential(shifted, scores, nms_thr, max_detections)
+    return nms_fixed(shifted, scores, nms_thr, max_detections,
+                     presorted=presorted)
+
+
 def _postprocess_single(
     det: jnp.ndarray,
     num_classes: int,
@@ -167,7 +227,7 @@ def _postprocess_single(
 
     if use_nms:
         shifted = top_boxes + (top_cls.astype(jnp.float32) * _CLASS_OFFSET)[:, None]
-        sel, valid = nms_fixed(shifted, top_score, nms_thr, max_detections)
+        sel, valid = _nms_auto(shifted, top_score, nms_thr, max_detections)
     else:
         m = min(max_detections, k)
         sel = jnp.arange(m, dtype=jnp.int32)
@@ -466,7 +526,7 @@ def postprocess_from_raws(
     def per_image(boxes_i, score_i, cls_i, obj_i):
         if use_nms:
             shifted = boxes_i + (cls_i * _CLASS_OFFSET)[:, None]
-            sel, valid = nms_fixed(shifted, score_i, nms_thr, m)
+            sel, valid = _nms_auto(shifted, score_i, nms_thr, m)
         else:
             m_eff = min(m, k)
             sel = jnp.arange(m_eff, dtype=jnp.int32)
