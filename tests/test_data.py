@@ -469,3 +469,29 @@ class TestCVATExportAndCache:
         assert len(plain) == len(cached) == 3
         for a, b in zip(plain, cached):
             np.testing.assert_array_equal(a, b)
+
+
+class TestU8AugFeed:
+    """feed_u8 composes with augmentation: the u8 training transform's
+    pixels, /255 on device, are bit-identical to the f32 transform's, and
+    labels are untouched (VERDICT r3 item 7)."""
+
+    def test_training_transform_u8_parity(self, rng):
+        img = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+        label = np.array([[1, 0.5, 0.5, 0.4, 0.3]], np.float32)
+        for seed in range(6):
+            mk = lambda: {"img": img.copy(), "label": label.copy(),
+                          "rng": np.random.default_rng(seed)}
+            f32 = T.training_transform((64, 64))(mk())
+            u8 = T.training_transform((64, 64), feed_u8=True)(mk())
+            assert u8["img"].dtype == np.uint8
+            np.testing.assert_array_equal(
+                u8["img"].astype(np.float32) / 255.0, f32["img"])
+            np.testing.assert_array_equal(u8["label"], f32["label"])
+
+    def test_extra_aug_preserves_u8(self, rng):
+        img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        s = {"img": img, "label": None, "rng": np.random.default_rng(5)}
+        out = T.training_transform((64, 64), extra_aug=True,
+                                   feed_u8=True)(s)
+        assert out["img"].dtype == np.uint8

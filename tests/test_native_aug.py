@@ -222,3 +222,68 @@ class TestDataHelperNativePath:
             helper.close()
         assert helper._native_disabled and helper._native is None
         assert batch["img"].shape == (4, 416, 416, 3)
+
+
+class TestNativeU8AugFeed:
+    def test_native_chain_emits_u8_matching_python(self, jpeg_dataset):
+        """DataHelper's native path under training_transform(feed_u8=True)
+        yields uint8 batches matching the Python f32 path under the
+        native-JPEG-parity contract (labels bit-exact; pixels within the
+        libjpeg-vs-cv2 decoder rounding envelope, see
+        TestDataHelperNativePath)."""
+        from yolo_v3_tpu.data.datasets import ListDataset
+
+        def run(feed_u8, native):
+            ds = ListDataset(
+                jpeg_dataset,
+                trans_fn=lambda d: T.training_transform(d, feed_u8=feed_u8))
+            dh = DataHelper(ds, CyclicSampler(len(ds), 2, seed=3,
+                                              dim=(96, 96)),
+                            max_net_batches=2, net_subdivisions=1,
+                            prefetch=0, native_threads=2 if native else 0)
+            try:
+                return [
+                    {"img": b["img"].copy(), "label": b["label"].copy()}
+                    for b in dh
+                ]
+            finally:
+                dh.close()
+
+        f32 = run(False, native=False)
+        u8n = run(True, native=True)
+        assert len(f32) == len(u8n) == 2
+        for a, b in zip(f32, u8n):
+            assert b["img"].dtype == np.uint8
+            diff = np.abs(b["img"].astype(np.float32) / 255.0 - a["img"])
+            # JPEG-decoder rounding tolerance, as in
+            # TestDataHelperNativePath.test_native_batches_match_python;
+            # u8-vs-f32 exactness is proven by the next test
+            assert diff.mean() < 0.01 and diff.max() < 0.13
+            np.testing.assert_array_equal(b["label"], a["label"])
+
+    def test_native_u8_equals_native_f32(self, jpeg_dataset):
+        """The u8 output mode is exactly the native f32 mode minus the
+        /255: same chain, same pixels, bit-identical after normalize."""
+        from yolo_v3_tpu.data.datasets import ListDataset
+
+        def run(feed_u8):
+            ds = ListDataset(
+                jpeg_dataset,
+                trans_fn=lambda d: T.training_transform(d, feed_u8=feed_u8))
+            dh = DataHelper(ds, CyclicSampler(len(ds), 2, seed=3,
+                                              dim=(96, 96)),
+                            max_net_batches=2, net_subdivisions=1,
+                            prefetch=0, native_threads=2)
+            try:
+                return [{"img": b["img"].copy(), "label": b["label"].copy()}
+                        for b in dh]
+            finally:
+                dh.close()
+
+        f32 = run(False)
+        u8 = run(True)
+        for a, b in zip(f32, u8):
+            assert b["img"].dtype == np.uint8
+            np.testing.assert_array_equal(
+                b["img"].astype(np.float32) / 255.0, a["img"])
+            np.testing.assert_array_equal(b["label"], a["label"])

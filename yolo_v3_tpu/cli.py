@@ -119,9 +119,6 @@ def cmd_train(args):
         if args.lr_steps else (),
     )
 
-    if args.feed_u8 and not args.no_aug:
-        raise SystemExit("--feed-u8 requires --no-aug (the float aug "
-                         "pipeline does not preserve uint8)")
     if args.no_aug:
         # the reference's custom-data run trains WITHOUT augmentation
         # (isAug=False -> letterbox+tensorize only,
@@ -129,10 +126,13 @@ def cmd_train(args):
         trans = lambda dim: T.eval_transform(dim, max_labels=cfg.max_labels,
                                              feed_u8=args.feed_u8)
     else:
+        # every aug stage is uint8-in/uint8-out (darknet augments u8
+        # pixels), so the 4x-cheaper u8 feed composes with augmentation
         trans = lambda dim: T.training_transform(
             dim, hue=args.hue, saturation=args.saturation,
             exposure=args.exposure, jitter=args.jitter,
             max_labels=cfg.max_labels, extra_aug=args.extra_aug,
+            feed_u8=args.feed_u8,
         )
     if args.cvat_xml:
         ds = CVATDataset(args.train_images or os.path.dirname(args.train_list),
@@ -185,14 +185,23 @@ def cmd_train(args):
 
         recorder = Recorder(jsonl_path=args.metrics_jsonl)
 
-    train(
-        data, params, state, cfg, tcfg,
-        recorder=recorder,
-        model_id=args.model_id, weight_dir=args.weight_dir,
-        checkpoint=checkpoint, checkpoint_interval=args.checkpoint_interval,
-        mesh=mesh,
-        pipeline_stats=args.pipeline_stats,
-    )
+    # register this long chip job so the bench harness serializes behind
+    # it instead of contending (utils/chiplock.py; CLAUDE.md rule)
+    from yolo_v3_tpu.utils import chiplock
+
+    if jax.default_backend() != "cpu":
+        chiplock.acquire(f"cli-train:{args.model_id}")
+    try:
+        train(
+            data, params, state, cfg, tcfg,
+            recorder=recorder,
+            model_id=args.model_id, weight_dir=args.weight_dir,
+            checkpoint=checkpoint, checkpoint_interval=args.checkpoint_interval,
+            mesh=mesh,
+            pipeline_stats=args.pipeline_stats,
+        )
+    finally:
+        chiplock.release()
 
 
 def cmd_weights(args):
@@ -330,7 +339,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--feed-u8", action="store_true",
                    help="feed uint8 pixels to the train step (device-side "
                         "/255; lossless, 4x less host->device traffic; "
-                        "requires --no-aug)")
+                        "composes with augmentation — the whole aug chain "
+                        "is uint8-in/uint8-out)")
     t.add_argument("--metrics-jsonl", default=None,
                    help="append per-net-batch raw stats to this JSONL file")
     t.add_argument("--burn-in", type=int, default=0,

@@ -74,6 +74,9 @@ class NativeAugSpec:
     area_thr: float
     flip_p: float
     max_labels: int
+    # emit uint8 letterboxed pixels (the ToArray(keep_uint8=True) contract:
+    # device-side /255 in the train step) instead of float32 [0,1]
+    feed_u8: bool = False
 
 
 def compile_transform(compose) -> Optional[NativeAugSpec]:
@@ -96,7 +99,7 @@ def compile_transform(compose) -> Optional[NativeAugSpec]:
     return NativeAugSpec(
         hue=hsv.hue, saturation=hsv.saturation, exposure=hsv.exposure,
         jitter=crop.jitter, area_thr=crop.area_thr, flip_p=flip.p,
-        max_labels=toarr.max_labels,
+        max_labels=toarr.max_labels, feed_u8=toarr.keep_uint8,
     )
 
 
@@ -270,8 +273,10 @@ class NativeAugLoader:
             w, hh = dims[i]
             label, reverter = transform_labels(
                 labels[i], w, hh, params[i], dim, spec)
+            img = buf.reshape(out_h, out_w, 3)
             samples[i] = {
-                "img": buf.reshape(out_h, out_w, 3).astype(np.float32) / 255.0,
+                "img": (img.copy() if spec.feed_u8
+                        else img.astype(np.float32) / 255.0),
                 "label": label,
                 "lb_reverter": reverter,
                 "img_path": paths[i],

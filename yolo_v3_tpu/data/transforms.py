@@ -342,17 +342,24 @@ class ExtraAugmentations:
 
 def training_transform(dim: Tuple[int, int], hue=0.1, saturation=1.5,
                        exposure=1.5, jitter=0.3, max_labels=90,
-                       extra_aug: bool = False) -> Compose:
+                       extra_aug: bool = False,
+                       feed_u8: bool = False) -> Compose:
     """The reference training pipeline: HSV + jitter crop + flip + letterbox
     + tensorize (reference README.md:49-56, dataset trans_fn usage);
     ``extra_aug`` prepends the optional photometric bank
-    (reference ExtraAugmentations, transforms.py:292-329)."""
+    (reference ExtraAugmentations, transforms.py:292-329).
+
+    ``feed_u8`` keeps the augmented, letterboxed image uint8 so the train
+    step normalizes on device (lossless — every stage of this chain is
+    uint8-in/uint8-out, darknet itself augments u8 pixels; cuts the
+    host->device feed bytes 4x).
+    """
     steps = [
         HSVAug(hue, saturation, exposure),
         RandomJitterCrop(jitter),
         RandomHorizontalFlip(0.5),
         Letterbox(dim),
-        ToArray(max_labels=max_labels),
+        ToArray(max_labels=max_labels, keep_uint8=feed_u8),
     ]
     if extra_aug:
         steps.insert(0, ExtraAugmentations())
