@@ -311,3 +311,42 @@ class TestSequentialNMS:
             PP._SEQ_NMS_MIN_K = orig
         np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_fix),
                                    atol=1e-5)
+
+
+class TestTopkPairsEval:
+    """_topk_pairs_eval (2-stage exact eval candidate selection) returns
+    exactly the flattened-top_k pair set."""
+
+    def _sets(self, score, box, cls):
+        return {(round(float(s), 6), int(b), int(c))
+                for s, b, c in zip(score, box, cls) if s > 0}
+
+    @pytest.mark.parametrize("seed,n,c,k", [(0, 300, 6, 64), (1, 1200, 80, 256),
+                                            (2, 4000, 20, 512), (3, 50, 3, 150)])
+    def test_matches_flat_topk(self, seed, n, c, k):
+        from yolo_v3_tpu.ops.postprocess import _topk_pairs_eval
+
+        rng = np.random.default_rng(seed)
+        probs = 1.0 / (1.0 + np.exp(-rng.normal(-2, 2, (n, c)))).astype(np.float32)
+        masked = np.where(probs > 0.005, probs, 0.0).astype(np.float32)
+        kk = min(k, n * c)
+        s2, b2, c2 = _topk_pairs_eval(jnp.asarray(masked), kk)
+        flat = masked.reshape(-1)
+        order = np.argsort(-flat, kind="stable")[:kk]
+        want = self._sets(flat[order], order // c, order % c)
+        got = self._sets(np.asarray(s2), np.asarray(b2), np.asarray(c2))
+        assert got == want
+
+    def test_batched(self):
+        from yolo_v3_tpu.ops.postprocess import _topk_pairs_eval
+
+        rng = np.random.default_rng(9)
+        probs = rng.uniform(0, 1, (3, 2000, 12)).astype(np.float32)
+        s, b, c = _topk_pairs_eval(jnp.asarray(probs), 128)
+        assert s.shape == b.shape == c.shape == (3, 128)
+        for i in range(3):
+            flat = probs[i].reshape(-1)
+            order = np.argsort(-flat, kind="stable")[:128]
+            want = self._sets(flat[order], order // 12, order % 12)
+            assert self._sets(np.asarray(s[i]), np.asarray(b[i]),
+                              np.asarray(c[i])) == want
