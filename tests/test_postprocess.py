@@ -1,6 +1,7 @@
 """Postprocess/NMS tests vs an independent numpy implementation of the
 reference's greedy per-class NMS semantics (reference utils.py:148-258)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -350,3 +351,70 @@ class TestTopkPairsEval:
             want = self._sets(flat[order], order // 12, order % 12)
             assert self._sets(np.asarray(s[i]), np.asarray(b[i]),
                               np.asarray(c[i])) == want
+
+
+class TestBlockedNMS:
+    """nms_blocked is exactly nms_sequential (and nms_fixed + top-M) on
+    every input: same picks, same order, same validity."""
+
+    @pytest.mark.parametrize("seed,k,m,block", [
+        (0, 64, 16, 8), (1, 256, 64, 32), (2, 1500, 128, 32),
+        (3, 300, 300, 32), (4, 2048, 128, 1), (5, 128, 128, 128),
+    ])
+    def test_matches_sequential(self, seed, k, m, block):
+        from yolo_v3_tpu.ops.postprocess import nms_blocked, nms_sequential
+
+        rng = np.random.default_rng(seed)
+        boxes = np.zeros((k, 4), np.float32)
+        boxes[:, 0:2] = rng.uniform(0, 380, (k, 2))
+        boxes[:, 2:4] = boxes[:, 0:2] + rng.uniform(10, 120, (k, 2))
+        cls = rng.integers(0, 6, k).astype(np.float32)
+        shifted = boxes + (cls * 8192.0)[:, None]
+        scores = rng.uniform(0, 1, k).astype(np.float32)
+        scores[rng.uniform(0, 1, k) < 0.3] = 0.0
+
+        sel_s, val_s = nms_sequential(jnp.asarray(shifted),
+                                      jnp.asarray(scores), 0.45, m)
+        sel_b, val_b = nms_blocked(jnp.asarray(shifted),
+                                   jnp.asarray(scores), 0.45, m,
+                                   block=block)
+        np.testing.assert_array_equal(np.asarray(val_b), np.asarray(val_s))
+        np.testing.assert_array_equal(np.asarray(sel_b)[np.asarray(val_b)],
+                                      np.asarray(sel_s)[np.asarray(val_s)])
+
+    def test_heavy_overlap_cluster(self):
+        """Worst case for blocking: one dense cluster where each pick
+        suppresses most of the block."""
+        from yolo_v3_tpu.ops.postprocess import nms_blocked, nms_sequential
+
+        rng = np.random.default_rng(7)
+        k = 512
+        base = np.array([100.0, 100.0, 200.0, 200.0], np.float32)
+        boxes = base[None, :] + rng.uniform(-8, 8, (k, 4)).astype(np.float32)
+        scores = rng.uniform(0.1, 1, k).astype(np.float32)
+        sel_s, val_s = nms_sequential(jnp.asarray(boxes),
+                                      jnp.asarray(scores), 0.45, 64)
+        sel_b, val_b = nms_blocked(jnp.asarray(boxes),
+                                   jnp.asarray(scores), 0.45, 64)
+        np.testing.assert_array_equal(np.asarray(val_b), np.asarray(val_s))
+        np.testing.assert_array_equal(np.asarray(sel_b)[np.asarray(val_b)],
+                                      np.asarray(sel_s)[np.asarray(val_s)])
+
+    def test_vmapped(self):
+        from yolo_v3_tpu.ops.postprocess import nms_blocked, nms_sequential
+
+        rng = np.random.default_rng(11)
+        B, k = 4, 600
+        boxes = np.zeros((B, k, 4), np.float32)
+        boxes[..., 0:2] = rng.uniform(0, 380, (B, k, 2))
+        boxes[..., 2:4] = boxes[..., 0:2] + rng.uniform(10, 120, (B, k, 2))
+        scores = rng.uniform(0, 1, (B, k)).astype(np.float32)
+        f_b = jax.vmap(lambda b, s: nms_blocked(b, s, 0.45, 32))
+        f_s = jax.vmap(lambda b, s: nms_sequential(b, s, 0.45, 32))
+        sel_b, val_b = f_b(jnp.asarray(boxes), jnp.asarray(scores))
+        sel_s, val_s = f_s(jnp.asarray(boxes), jnp.asarray(scores))
+        np.testing.assert_array_equal(np.asarray(val_b), np.asarray(val_s))
+        for i in range(B):
+            vb = np.asarray(val_b[i])
+            np.testing.assert_array_equal(np.asarray(sel_b[i])[vb],
+                                          np.asarray(sel_s[i])[vb])

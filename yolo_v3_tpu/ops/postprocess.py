@@ -39,7 +39,7 @@ import numpy as np
 from yolo_v3_tpu.ops import boxes as B
 
 __all__ = ["postprocess", "nms_fixed", "nms_sequential",
-           "detections_to_lists"]
+           "nms_blocked", "detections_to_lists"]
 
 # Larger than any supported input dimension (608) so class-offset boxes of
 # distinct classes can never intersect.
@@ -169,6 +169,82 @@ def nms_fixed(
     return out_idx.astype(jnp.int32), top_scores > 0.0
 
 
+def nms_blocked(
+    boxes_xyxy: jnp.ndarray,
+    scores: jnp.ndarray,
+    nms_thr: float,
+    max_detections: int,
+    block: int = 32,
+) -> tuple:
+    """Exact greedy NMS by blocked selection rounds — the dense-eval
+    default (K>=1024).
+
+    ``nms_sequential`` is exact in O(M*K) work but runs M=128 serialized
+    tiny steps (~0.2 ms each on-chip: latency-bound, 25.7 ms/batch64).
+    This resolves up to ``block`` picks per round: the top-T live
+    candidates outrank every other candidate, so greedy restricted to
+    them — a [T, T] fixpoint — yields only TRUE global picks, every
+    non-picked member of the T-set is suppressed by one of those picks,
+    and the whole set can be retired in one round.  Each round costs one
+    [K] top-k, a [T, T] fixpoint, and one [T, K] IoU sweep; rounds ~=
+    M/picks-per-round (typically 4-10, worst-case M).  Identical output
+    to ``nms_sequential``/``nms_fixed`` + top-M (ties break to the lower
+    index throughout).  Input need not be score-sorted.  Returns
+    (indices [M], valid [M]) in score order.
+    """
+    k = scores.shape[0]
+    t = min(block, k)
+    m = max_detections
+
+    def cond(carry):
+        live, sel, valid, count = carry
+        return (count < m) & jnp.any(live > 0.0)
+
+    def body(carry):
+        live, sel, valid, count = carry
+        ts, ti = jax.lax.top_k(live, t)                  # top-T live
+        tb = boxes_xyxy[ti]                              # [T, 4]
+        tvalid = ts > 0.0
+
+        iou_tt = B.iou_matrix(tb, tb)
+        idx = jnp.arange(t)
+        overlap = (idx[:, None] < idx[None, :]) & (iou_tt > nms_thr)
+
+        def fcond(c):
+            keep, prev, it = c
+            return (it < t) & jnp.any(keep != prev)
+
+        def fbody(c):
+            keep, _, it = c
+            suppressed = jnp.any(overlap & keep[:, None], axis=0)
+            return tvalid & ~suppressed, keep, it + 1
+
+        keep, _, _ = jax.lax.while_loop(
+            fcond, fbody,
+            (tvalid, jnp.zeros_like(tvalid), jnp.int32(0)))
+
+        pos = count + jnp.cumsum(keep.astype(jnp.int32)) - 1
+        wpos = jnp.where(keep, pos, m)                   # m = drop slot
+        sel = sel.at[wpos].set(ti.astype(jnp.int32), mode="drop")
+        valid = valid.at[wpos].set(True, mode="drop")
+        count = count + keep.sum(dtype=jnp.int32)
+
+        # suppress outsiders overlapping any pick; the T-set itself is
+        # fully resolved this round (picked or suppressed by a pick), so
+        # clear it wholesale
+        iou_pk = B.iou_matrix(tb, boxes_xyxy)            # [T, K]
+        kill = jnp.any(keep[:, None] & (iou_pk > nms_thr), axis=0)
+        live = jnp.where(kill, 0.0, live)
+        live = live.at[ti].set(0.0)
+        return live, sel, valid, count
+
+    _, sel, valid, _ = jax.lax.while_loop(
+        cond, body,
+        (scores, jnp.zeros((m,), jnp.int32), jnp.zeros((m,), bool),
+         jnp.int32(0)))
+    return sel, valid
+
+
 def nms_sequential(
     boxes_xyxy: jnp.ndarray,
     scores: jnp.ndarray,
@@ -214,16 +290,16 @@ def nms_sequential(
     return sel, valid
 
 
-# Candidate counts at or above this use the sequential-selection NMS: the
+# Candidate counts at or above this use the blocked-selection NMS: the
 # fixpoint path's [K, K] IoU matrix dominates HBM time there, while at
 # display-path sizes (<=512) the matrix fits comfortably and converges in
-# fewer dispatch rounds than M sequential picks.
+# fewer dispatch rounds than the selection rounds.
 _SEQ_NMS_MIN_K = 1024
 
 
 def _nms_auto(shifted, scores, nms_thr, max_detections, presorted=True):
     if scores.shape[0] >= _SEQ_NMS_MIN_K:
-        return nms_sequential(shifted, scores, nms_thr, max_detections)
+        return nms_blocked(shifted, scores, nms_thr, max_detections)
     return nms_fixed(shifted, scores, nms_thr, max_detections,
                      presorted=presorted)
 
