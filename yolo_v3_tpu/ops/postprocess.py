@@ -81,9 +81,16 @@ def _topk_pairs_eval(probs: jnp.ndarray, k: int,
     """
     n, c = probs.shape[-2], probs.shape[-1]
     if n * c <= 16384 or k > n:
-        # tiny domains (tests, low-res nets): one flat sort is cheapest
+        # k >= n means stage 1 would keep every box (no reduction), and
+        # tiny domains (tests, low-res nets) don't pay for staging: rank
+        # the flat grid directly — but still on the PartialReduce exact
+        # top-k when the domain is big (2x lax.top_k, e.g. the dense
+        # decoded-tensor eval path where n=3000 < k=4096, n*c=240k)
         flat = probs.reshape(probs.shape[:-2] + (n * c,))
-        score, pair = jax.lax.top_k(flat, k)
+        if n * c <= 16384:
+            score, pair = jax.lax.top_k(flat, k)
+        else:
+            score, pair = jax.lax.approx_max_k(flat, k, recall_target=1.0)
         pair = pair.astype(jnp.int32)
         return score, pair // c, pair % c
     box_key = jnp.max(probs, axis=-1)                      # [..., N]
