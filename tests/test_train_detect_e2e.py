@@ -39,8 +39,17 @@ CFG = YoloConfig(
 TCFG = TrainConfig(lr=1e-3, backbone_lr=1e-3, net_subdivisions=1,
                    multi_scale=False)
 
-# (cls, x1, y1, x2, y2) rectangles in 64x64 images
-SPECS = [(0, 16, 8, 48, 40), (1, 24, 28, 56, 56)]
+# (cls, x1, y1, x2, y2) rectangles in DIM x 24 images.  Image width equals
+# the net dim on purpose: the letterbox is then pad-only (no resize), so the
+# training feed (cv2 host path) and the serving feed (device path) are
+# bit-identical and the assertion tests the PIPELINE (labels, decode, NMS,
+# box un-mapping), not an overfit net's sensitivity to cv2-vs-device cubic
+# resampling of razor-sharp edges — which flips with any optimizer-level
+# float-trajectory change (a net memorized to loss 0.0000 on one resize can
+# confidently mislocate on the other).  The y-pad still exercises the
+# letterbox reverter.
+IMG_H = 24
+SPECS = [(0, 8, 2, 24, 18), (1, 12, 8, 28, 22)]
 
 
 @pytest.fixture(scope="module")
@@ -53,14 +62,15 @@ def overfit_dir(tmp_path_factory):
     rng = np.random.default_rng(0)
     paths = []
     for i, (c, x1, y1, x2, y2) in enumerate(SPECS):
-        img = rng.integers(0, 60, (64, 64, 3), dtype=np.uint8)
+        img = rng.integers(0, 60, (IMG_H, DIM, 3), dtype=np.uint8)
         img[y1:y2, x1:x2] = [(255, 80, 80), (80, 255, 80)][c]
         p = root / "images" / f"img_{i:04d}.jpg"
         cv2.imwrite(str(p), cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
                     [cv2.IMWRITE_JPEG_QUALITY, 95])
-        cx, cy = (x1 + x2) / 2 / 64, (y1 + y2) / 2 / 64
+        cx, cy = (x1 + x2) / 2 / DIM, (y1 + y2) / 2 / IMG_H
         with open(root / "labels" / f"img_{i:04d}.txt", "w") as f:
-            f.write(f"{c} {cx:.6f} {cy:.6f} {(x2-x1)/64:.6f} {(y2-y1)/64:.6f}\n")
+            f.write(f"{c} {cx:.6f} {cy:.6f} "
+                    f"{(x2-x1)/DIM:.6f} {(y2-y1)/IMG_H:.6f}\n")
         paths.append(str(p))
     (root / "train.txt").write_text("\n".join(paths) + "\n")
     return str(root)

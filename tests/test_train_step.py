@@ -214,3 +214,4 @@ class TestMixedPrecision:
                                                    imgs, labels)
             losses.append(float(stats["loss"]))
         assert losses[-1] < losses[0]
+
