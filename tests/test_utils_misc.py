@@ -117,8 +117,32 @@ class TestChipLock:
         from yolo_v3_tpu.utils import chiplock as CL
 
         monkeypatch.setattr(CL, "LOCK_PATH", str(tmp_path / "chip.lock"))
+        # legacy single-record format is still understood
         with open(CL.LOCK_PATH, "w") as f:
             json.dump({"pid": 2 ** 22 + 12345, "tag": "dead", "since": 0}, f)
         assert CL.holder() is None  # dead pid -> reaped
         import os.path as osp
         assert not osp.exists(CL.LOCK_PATH)
+
+    def test_second_job_stays_visible(self, tmp_path, monkeypatch):
+        """A job arriving while another is registered must STILL register:
+        if it stayed invisible, the first job's release would free the
+        bench while the second is mid-run (the round-3 failure)."""
+        import json
+        import os
+
+        from yolo_v3_tpu.utils import chiplock as CL
+
+        monkeypatch.setattr(CL, "LOCK_PATH", str(tmp_path / "chip.lock"))
+        # a live foreign holder (this very pytest process under another
+        # record id is the simplest always-alive pid: use pid 1)
+        with open(CL.LOCK_PATH, "w") as f:
+            json.dump([{"pid": 1, "tag": "other", "since": 0}], f)
+        CL.acquire("second-job")
+        recs = json.load(open(CL.LOCK_PATH))
+        assert {int(r["pid"]) for r in recs} == {1, os.getpid()}
+        # releasing the second job leaves the first registered
+        CL.release()
+        recs = json.load(open(CL.LOCK_PATH))
+        assert [int(r["pid"]) for r in recs] == [1]
+        assert not CL.wait_until_free(timeout_s=0.2, poll_s=0.05)

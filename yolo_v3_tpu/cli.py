@@ -138,7 +138,8 @@ def cmd_train(args):
         ds = CVATDataset(args.train_images or os.path.dirname(args.train_list),
                          args.cvat_xml, trans_fn=trans)
     else:
-        ds = ListDataset(args.train_list, trans_fn=trans)
+        ds = ListDataset(args.train_list, trans_fn=trans,
+                         require_labels=True)
     if args.cache:
         if not args.no_aug:
             raise SystemExit("--cache requires --no-aug (the RAM cache is "

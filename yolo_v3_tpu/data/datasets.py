@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
+import sys
 from collections import OrderedDict
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
@@ -54,7 +55,8 @@ class ListDataset:
     (cls, cx, cy, w, h) relative."""
 
     def __init__(self, targ_txt_path: str, trans_fn: Optional[TransFn] = None,
-                 subset_idx: Optional[Sequence[int]] = None):
+                 subset_idx: Optional[Sequence[int]] = None,
+                 require_labels: bool = False):
         with open(targ_txt_path) as f:
             self.img_list = [ln.strip() for ln in f if ln.strip()]
         self.label_list = [image_path_to_label_path(p) for p in self.img_list]
@@ -62,6 +64,22 @@ class ListDataset:
             self.img_list = [self.img_list[i] for i in subset_idx]
             self.label_list = [self.label_list[i] for i in subset_idx]
         self.trans_fn = trans_fn
+        # Guard against layouts the path contract doesn't cover (no
+        # '/images/' component, labels beside the images, etc.): every
+        # sample would silently train/evaluate against zero ground truth.
+        # Results-only flows (generate_results_file) legitimately run
+        # without labels, so absence is an error only when labels are
+        # declared required (the training CLI does) — but always say so.
+        if self.img_list and not any(osp.exists(p) for p in self.label_list):
+            msg = (
+                f"no label file found for ANY of the {len(self.img_list)} "
+                f"images in {targ_txt_path} (expected e.g. "
+                f"{self.label_list[0]!r}; contract: last 'images' path "
+                "component -> 'labels', extension -> .txt)"
+            )
+            if require_labels:
+                raise FileNotFoundError(msg)
+            print(f"[ListDataset] WARNING: {msg}", file=sys.stderr)
 
     def __len__(self) -> int:
         return len(self.img_list)

@@ -385,6 +385,13 @@ def recalibrate_bn(params: Params, state: State, batches) -> State:
     global _BN_MOMENTUM_OVERRIDE
     if hasattr(batches, "shape"):
         batches = [batches]
+    # Materialize BEFORE opening the override window: the override is a
+    # module global read at trace time, so any unrelated BN-using function
+    # first-traced while it is set would bake momentum-1.0 semantics into
+    # its jit cache permanently.  With the inputs pre-realized, the only
+    # traces inside the window are `measure`'s own (single-threaded
+    # tracing assumed — this is a maintenance-time utility).
+    batches = [jnp.asarray(x) for x in batches]
     # momentum 1.0 makes the returned state the batch statistics exactly;
     # averaging those per-batch states gives the mean batch stats.  One
     # traced program regardless of batch count (a per-batch 1/i momentum
@@ -394,7 +401,7 @@ def recalibrate_bn(params: Params, state: State, batches) -> State:
         measure = jax.jit(
             lambda p, s, x: apply_yolonet(p, s, x, training=True)[1]
         )
-        states = [measure(params, state, jnp.asarray(x)) for x in batches]
+        states = [measure(params, state, x) for x in batches]
     finally:
         _BN_MOMENTUM_OVERRIDE = None
     if len(states) == 1:

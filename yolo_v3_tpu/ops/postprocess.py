@@ -45,6 +45,11 @@ __all__ = ["postprocess", "nms_fixed", "nms_sequential",
 # distinct classes can never intersect.
 _CLASS_OFFSET = 8192.0
 
+# Below this many (box, class) score lanes a single flat sort beats the
+# 2-stage selection's staging overhead; shared by _topk_pairs_eval and the
+# fused eval branch of postprocess_from_raws so they cannot diverge.
+_FLAT_TOPK_MAX = 16384
+
 
 def _candidates_display(probs: jnp.ndarray, conf_thr: float):
     """One candidate per box: its argmax class (reference utils.py:240-246)."""
@@ -54,8 +59,7 @@ def _candidates_display(probs: jnp.ndarray, conf_thr: float):
     return score, cls
 
 
-def _topk_pairs_eval(probs: jnp.ndarray, k: int,
-                     approx_recall=None) -> tuple:
+def _topk_pairs_eval(probs: jnp.ndarray, k: int) -> tuple:
     """Top-k over the [..., N, C] (box, class) score grid — the eval-mode
     candidate selection (every pair, reference utils.py:236-238) without
     sorting all N*C lanes.
@@ -70,9 +74,12 @@ def _topk_pairs_eval(probs: jnp.ndarray, k: int,
     scratch/probe_topk_methods.py): lax.top_k 104.8 ms, 2-stage 38.9 ms
     with top_k stages, ~20 ms with approx(1.0) stages.
 
-    ``approx_recall`` (the ``eval_approx_topk`` opt-in) applies the
-    recall<1 reduction to stage 2 only — strictly better recall than
-    single-stage approx at the same target, and cheaper.
+    This is the decoded-tensor entry point (``postprocess``);
+    ``postprocess_from_raws``'s eval branch implements the same two-stage
+    selection fused with its row gathers/arithmetic decode (and carries
+    the ``eval_approx_topk`` opt-in, which relaxes stage 2 to
+    recall<1) — keep the two in sync, incl. the shared ``_FLAT_TOPK_MAX``
+    cutoff.
 
     Tie-breaking at equal scores may differ from flattened ``lax.top_k``
     (both orders are valid greedy-NMS priorities; zero-score slots are
@@ -80,14 +87,14 @@ def _topk_pairs_eval(probs: jnp.ndarray, k: int,
     cls [..., k] int32).
     """
     n, c = probs.shape[-2], probs.shape[-1]
-    if n * c <= 16384 or k > n:
+    if n * c <= _FLAT_TOPK_MAX or k > n:
         # k >= n means stage 1 would keep every box (no reduction), and
         # tiny domains (tests, low-res nets) don't pay for staging: rank
         # the flat grid directly — but still on the PartialReduce exact
         # top-k when the domain is big (2x lax.top_k, e.g. the dense
         # decoded-tensor eval path where n=3000 < k=4096, n*c=240k)
         flat = probs.reshape(probs.shape[:-2] + (n * c,))
-        if n * c <= 16384:
+        if n * c <= _FLAT_TOPK_MAX:
             score, pair = jax.lax.top_k(flat, k)
         else:
             score, pair = jax.lax.approx_max_k(flat, k, recall_target=1.0)
@@ -98,9 +105,7 @@ def _topk_pairs_eval(probs: jnp.ndarray, k: int,
     bi = bi.astype(jnp.int32)
     sub = jnp.take_along_axis(probs, bi[..., :, None], axis=-2)
     sub_flat = sub.reshape(sub.shape[:-2] + (k * c,))      # [..., k*C]
-    score, pi = jax.lax.approx_max_k(
-        sub_flat, k, recall_target=1.0 if approx_recall is None
-        else approx_recall)
+    score, pi = jax.lax.approx_max_k(sub_flat, k, recall_target=1.0)
     pi = pi.astype(jnp.int32)
     box = jnp.take_along_axis(bi, pi // c, axis=-1)
     return score, box, pi % c
@@ -677,7 +682,7 @@ def postprocess_from_raws(
         if approx_topk:
             top_score, pi = jax.lax.approx_max_k(
                 pair_scores, k, recall_target=0.99)
-        elif n_box * C > 16384:
+        elif n_box * C > _FLAT_TOPK_MAX:
             top_score, pi = jax.lax.approx_max_k(
                 pair_scores, k, recall_target=1.0)
         else:

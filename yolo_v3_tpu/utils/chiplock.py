@@ -1,16 +1,22 @@
-"""Single-chip job serialization: a PID lockfile for long TPU runs.
+"""Single-chip job serialization: a PID registry file for long TPU runs.
 
 CLAUDE.md rule, mechanized (round-3 failure: a builder-launched training
 rerun straddled the round boundary and starved the driver's benchmark —
 BENCH_r03 recorded rc=124 with no number).  Long-running chip jobs (CLI
 training) register themselves; the benchmark harness refuses to start while
-a registered job is alive and instead waits for it, so two TPU clients
+any registered job is alive and instead waits for it, so two TPU clients
 never contend for the one chip.
 
 Advisory only — nothing breaks if a process doesn't participate — and
 scoped to processes on this host (the chip is reached through a local
-tunnel, so every client IS a local process).  Stale locks (dead PID) are
-reaped automatically.
+tunnel, so every client IS a local process).  The file holds a LIST of
+{pid, tag, since} records so concurrent jobs all stay visible (a second
+job must not vanish from ``wait_until_free`` just because a first one was
+registered — that would recreate the round-3 failure the lock exists to
+prevent).  Writes are atomic (tmp + os.replace), so a concurrent reader
+never sees a truncated file.  Dead AND zombie PIDs are reaped: a crashed
+training child whose parent never waited on it stays a zombie, and
+``os.kill(pid, 0)`` alone would count it alive for the full bench timeout.
 """
 
 from __future__ import annotations
@@ -18,66 +24,98 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Optional
+from typing import List, Optional
 
 LOCK_PATH = "/tmp/yolo_tpu_chip.lock"
 
 
-def _read() -> Optional[dict]:
+def _read() -> List[dict]:
     try:
         with open(LOCK_PATH) as f:
-            return json.load(f)
+            data = json.load(f)
     except (FileNotFoundError, ValueError):
-        return None
+        return []
+    if isinstance(data, dict):  # legacy single-record file
+        return [data]
+    return list(data)
+
+
+def _write(records: List[dict]) -> None:
+    tmp = f"{LOCK_PATH}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(records, f)
+    os.replace(tmp, LOCK_PATH)  # atomic: readers see old or new, never torn
 
 
 def _alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)
-        return True
     except ProcessLookupError:
         return False
     except PermissionError:
         return True
+    # the signal-0 probe counts zombies as alive; check the process state
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            # field 3 (after the parenthesized comm, which may hold spaces)
+            state = f.read().rsplit(")", 1)[1].split()[0]
+        return state != "Z"
+    except (FileNotFoundError, IndexError, OSError):
+        return True  # no /proc — keep the conservative answer
+
+
+def _live_records() -> List[dict]:
+    """Registered records whose processes are alive, reaping the rest."""
+    recs = _read()
+    live = [r for r in recs if _alive(int(r.get("pid", -1)))]
+    if len(live) != len(recs):
+        if live:
+            _write(live)
+        else:
+            try:
+                os.unlink(LOCK_PATH)
+            except FileNotFoundError:
+                pass
+    return live
 
 
 def holder() -> Optional[dict]:
-    """The live lock record {pid, tag, since}, or None (reaping stale)."""
-    rec = _read()
-    if rec is None:
-        return None
-    if not _alive(int(rec.get("pid", -1))):
-        try:
-            os.unlink(LOCK_PATH)
-        except FileNotFoundError:
-            pass
-        return None
-    return rec
+    """The oldest live job record {pid, tag, since}, or None."""
+    live = _live_records()
+    return live[0] if live else None
 
 
 def acquire(tag: str) -> None:
-    """Register this process as the chip's long-running job.  Does not
-    block on an existing holder (the chip tolerates overlap; the point is
-    visibility for ``wait_until_free``), but refuses to silently replace a
-    live one — late-comers see who they are contending with."""
-    rec = holder()
-    if rec is not None and int(rec["pid"]) != os.getpid():
+    """Register this process as a long-running chip job.  Does not block
+    on existing holders (the chip tolerates overlap; the point is
+    visibility for ``wait_until_free``) — EVERY caller registers, and
+    late-comers are warned about who they are contending with."""
+    live = _live_records()
+    others = [r for r in live if int(r["pid"]) != os.getpid()]
+    if others:
         import sys
 
+        r = others[0]
         print(
             f"[chiplock] WARNING: chip job already registered: pid "
-            f"{rec['pid']} ({rec.get('tag', '?')}) — two TPU clients will "
+            f"{r['pid']} ({r.get('tag', '?')}) — two TPU clients will "
             "contend; serialize them (CLAUDE.md)",
             file=sys.stderr, flush=True,
         )
-        return
-    with open(LOCK_PATH, "w") as f:
-        json.dump({"pid": os.getpid(), "tag": tag, "since": time.time()}, f)
+    if not any(int(r["pid"]) == os.getpid() for r in live):
+        live.append({"pid": os.getpid(), "tag": tag, "since": time.time()})
+        _write(live)
 
 
 def release() -> None:
-    rec = _read()
-    if rec is not None and int(rec.get("pid", -1)) == os.getpid():
+    recs = _read()
+    mine = [r for r in recs if int(r.get("pid", -1)) == os.getpid()]
+    if not mine:
+        return
+    rest = [r for r in recs if int(r.get("pid", -1)) != os.getpid()]
+    if rest:
+        _write(rest)
+    else:
         try:
             os.unlink(LOCK_PATH)
         except FileNotFoundError:
