@@ -418,3 +418,25 @@ class TestBlockedNMS:
             vb = np.asarray(val_b[i])
             np.testing.assert_array_equal(np.asarray(sel_b[i])[vb],
                                           np.asarray(sel_s[i])[vb])
+
+
+class TestConstantsFromIndex:
+    def test_matches_scale_constants_table(self):
+        """Arithmetic decode constants == the tabulated _scale_constants
+        at every candidate index, for asymmetric dims and 3-anchor masks."""
+        from yolo_v3_tpu.ops.postprocess import (_constants_from_index,
+                                                 _scale_constants)
+
+        shapes = [(13, 13), (26, 26), (52, 52)]
+        anchors = ((10, 13), (16, 30), (33, 23), (30, 61), (62, 45),
+                   (59, 119), (116, 90), (156, 198), (373, 326))
+        masks = ((6, 7, 8), (3, 4, 5), (0, 1, 2))
+        cx, cy, aw, ah, st = _scale_constants(shapes, masks, anchors, 416)
+        n = cx.shape[0]
+        gi = jnp.arange(n, dtype=jnp.int32)[None, :]  # all indices, batch 1
+        acx, acy, aaw, aah, ast = _constants_from_index(
+            gi, shapes, masks, anchors, 416, 3)
+        for table, arith in ((cx, acx), (cy, acy), (aw, aaw), (ah, aah),
+                             (st, ast)):
+            np.testing.assert_array_equal(np.asarray(table),
+                                          np.asarray(arith[0]))
