@@ -270,3 +270,45 @@ class TestCLITrainNoAug:
                 str(tmp_path / "w"), "--dim", "64", "--batch-size", "2",
                 "--subdivisions", "1", "--max-net-batches", "1", "--cache",
             ])
+
+
+class TestCLIFullConfigTrain:
+    def test_cli_train_multiscale_aug_u8(self, tmp_path):
+        """The flagship full-COCO configuration shape from the CLI:
+        augmentation ON + --multi-scale + --feed-u8 (+ native threads when
+        the extension is built) — the runs/fullcfg_r4 on-chip demo's
+        composition, locked at the CLI level on the CPU mesh."""
+        import cv2
+
+        from yolo_v3_tpu.cli import main
+        from yolo_v3_tpu.train.checkpoint import get_latest_checkpoint
+
+        root = tmp_path / "ds"
+        (root / "images").mkdir(parents=True)
+        (root / "labels").mkdir()
+        rng = np.random.default_rng(3)
+        paths = []
+        for i in range(4):
+            img = rng.integers(0, 255, (80, 112, 3), dtype=np.uint8)
+            p = root / "images" / f"img_{i:04d}.jpg"
+            cv2.imwrite(str(p), img)
+            np.savetxt(str(root / "labels" / f"img_{i:04d}.txt"),
+                       np.array([[1, 0.5, 0.5, 0.4, 0.4]], np.float32),
+                       fmt="%.6f")
+            paths.append(str(p))
+        (root / "list.txt").write_text("\n".join(paths) + "\n")
+        names = str(tmp_path / "n.names")
+        with open(names, "w") as f:
+            f.write("a\nb\nc\n")
+
+        wdir = str(tmp_path / "weights")
+        main([
+            "train", "--train-list", str(root / "list.txt"),
+            "--names", names, "--model-id", "fullcfg",
+            "--weight-dir", wdir, "--dim", "64", "--batch-size", "2",
+            "--subdivisions", "1", "--max-net-batches", "3",
+            "--multi-scale", "--dim-range", "64,96",
+            "--feed-u8", "--native-threads", "2",
+        ])
+        path, it = get_latest_checkpoint("fullcfg", wdir)
+        assert path is not None and it >= 2

@@ -149,9 +149,13 @@ def cmd_train(args):
         ds = CachedDataset(ds)
 
     dim = None if args.multi_scale else (args.dim, args.dim)
+    lo, hi = (int(v) for v in args.dim_range.split(","))
+    if lo % 32 or hi % 32 or not 32 <= lo <= hi:
+        raise SystemExit("--dim-range must be MIN,MAX multiples of 32")
     sampler = CyclicSampler(
         len(ds), args.batch_size, seed=args.seed, dim=dim,
         rand_dim_interval=max(8, args.batch_size * args.subdivisions),
+        dim_mult_range=(lo // 32, hi // 32),
     )
     data = DataHelper(ds, sampler, max_net_batches=args.max_net_batches,
                       net_subdivisions=args.subdivisions,
@@ -303,6 +307,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--weight-dir", default="weights")
     t.add_argument("--dim", type=int, default=416)
     t.add_argument("--multi-scale", action="store_true")
+    t.add_argument("--dim-range", default="320,608",
+                   help="multi-scale dim bounds MIN,MAX (multiples of 32; "
+                        "darknet default 320,608 — dataset.py:79-93)")
     t.add_argument("--batch-size", type=int, default=16)
     t.add_argument("--subdivisions", type=int, default=4)
     t.add_argument("--lr", type=float, default=1e-3)
