@@ -62,6 +62,32 @@ class TestCyclicSampler:
         a.trimm(batch_idx=5)
         assert len(a) == 0
 
+    def test_cli_dim_range_samples_max_dim(self):
+        # --dim-range is inclusive MIN,MAX; the sampler range is half-open
+        # (round-4 advisor: 320,608 never drew 608 before the +1 fix)
+        from yolo_v3_tpu.cli import parse_dim_range
+
+        assert parse_dim_range("320,608") == (10, 20)
+        s = CyclicSampler(512, 4, seed=0, rand_dim_interval=8,
+                          dim_mult_range=parse_dim_range("320,608"))
+        dims = {d[0] for d in s.dims}
+        for _ in range(20):
+            s.randomize()
+            dims |= {d[0] for d in s.dims}
+        assert max(dims) == 608 and min(dims) >= 320
+
+    def test_cli_dim_range_degenerate_and_invalid(self):
+        import pytest
+
+        from yolo_v3_tpu.cli import parse_dim_range
+
+        s = CyclicSampler(64, 4, seed=1, rand_dim_interval=8,
+                          dim_mult_range=parse_dim_range("416,416"))
+        assert all(d == (416, 416) for d in s.dims)
+        for bad in ("416", "100,200", "608,320", "0,416"):
+            with pytest.raises(SystemExit):
+                parse_dim_range(bad)
+
 
 class TestTransforms:
     def _sample(self, rng, h=100, w=140):

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 from yolo_v3_tpu.models import darknet as D
-from yolo_v3_tpu.ops import quantize as Q
+from yolo_v3_tpu.models import quantized as Q
 
 
 class TestQuantize:

@@ -146,3 +146,42 @@ class TestChipLock:
         recs = json.load(open(CL.LOCK_PATH))
         assert [int(r["pid"]) for r in recs] == [1]
         assert not CL.wait_until_free(timeout_s=0.2, poll_s=0.05)
+
+    def test_concurrent_registration_loses_no_record(self, tmp_path,
+                                                     monkeypatch):
+        """N processes acquiring at once must all end up registered: the
+        read-modify-write cycle is flock-serialized (round-4 advisor
+        finding — atomic replace alone allowed lost updates)."""
+        import json
+        import multiprocessing as mp
+        import os
+
+        from yolo_v3_tpu.utils import chiplock as CL
+
+        monkeypatch.setattr(CL, "LOCK_PATH", str(tmp_path / "chip.lock"))
+        n = 8
+        barrier = mp.Barrier(n + 1)
+        done = mp.Event()
+
+        def job():
+            barrier.wait()          # maximise contention
+            CL.acquire("c-job")
+            barrier.wait()          # parent reads while children live
+            done.wait(10)
+
+        procs = [mp.Process(target=job) for _ in range(n)]
+        for p in procs:
+            p.start()
+        barrier.wait()
+        barrier.wait()
+        try:
+            recs = json.load(open(CL.LOCK_PATH))
+            pids = {int(r["pid"]) for r in recs}
+            assert pids == {p.pid for p in procs}, (
+                f"lost {n - len(pids & {p.pid for p in procs})} records")
+        finally:
+            done.set()
+            for p in procs:
+                p.join(10)
+        # all children exited -> reaped on next read
+        assert CL.holder() is None or CL.holder()["pid"] == os.getpid()

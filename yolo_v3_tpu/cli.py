@@ -25,6 +25,22 @@ def _load_class_names(path: str):
         return [ln.strip() for ln in f if ln.strip()]
 
 
+def parse_dim_range(spec: str):
+    """``--dim-range MIN,MAX`` (inclusive pixels) -> sampler dim_mult_range.
+
+    The sampler's range is HALF-OPEN (``rng.integers``), so the inclusive
+    CLI contract needs ``+1`` on the upper bound — without it the default
+    320,608 never sampled dim 608 and ``lo == hi`` crashed inside
+    ``_generate_dims`` (round-4 advisor finding)."""
+    try:
+        lo, hi = (int(v) for v in spec.split(","))
+    except ValueError:
+        raise SystemExit("--dim-range must be MIN,MAX multiples of 32")
+    if lo % 32 or hi % 32 or not 32 <= lo <= hi:
+        raise SystemExit("--dim-range must be MIN,MAX multiples of 32")
+    return (lo // 32, hi // 32 + 1)
+
+
 def _build_detector(args, num_classes: int):
     import jax
 
@@ -149,13 +165,10 @@ def cmd_train(args):
         ds = CachedDataset(ds)
 
     dim = None if args.multi_scale else (args.dim, args.dim)
-    lo, hi = (int(v) for v in args.dim_range.split(","))
-    if lo % 32 or hi % 32 or not 32 <= lo <= hi:
-        raise SystemExit("--dim-range must be MIN,MAX multiples of 32")
     sampler = CyclicSampler(
         len(ds), args.batch_size, seed=args.seed, dim=dim,
         rand_dim_interval=max(8, args.batch_size * args.subdivisions),
-        dim_mult_range=(lo // 32, hi // 32),
+        dim_mult_range=parse_dim_range(args.dim_range),
     )
     data = DataHelper(ds, sampler, max_net_batches=args.max_net_batches,
                       net_subdivisions=args.subdivisions,

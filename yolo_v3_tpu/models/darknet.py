@@ -22,6 +22,7 @@ block becomes conv+bias+leaky — one MXU op and one fused VPU epilogue.
 from __future__ import annotations
 
 import math
+import threading
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -42,6 +43,9 @@ BN_MOMENTUM = 0.1  # torch BatchNorm2d default: new = (1-m)*old + m*batch
 # would have to pass through every apply_* signature for one maintenance-
 # time utility.
 _BN_MOMENTUM_OVERRIDE = None
+# Serializes the override window (see recalibrate_bn); held only across the
+# single AOT trace, never across execution.
+_BN_OVERRIDE_LOCK = threading.Lock()
 
 
 def _bn_momentum() -> float:
@@ -388,22 +392,36 @@ def recalibrate_bn(params: Params, state: State, batches) -> State:
     # Materialize BEFORE opening the override window: the override is a
     # module global read at trace time, so any unrelated BN-using function
     # first-traced while it is set would bake momentum-1.0 semantics into
-    # its jit cache permanently.  With the inputs pre-realized, the only
-    # traces inside the window are `measure`'s own (single-threaded
-    # tracing assumed — this is a maintenance-time utility).
+    # its jit cache permanently.  The window is narrowed to ONE AOT trace
+    # (`.lower()` below): compilation and every batch's execution happen
+    # with the override already cleared, and a non-blocking lock makes a
+    # concurrent recalibrate fail loudly instead of racing the global
+    # (round-4 advisor finding).
     batches = [jnp.asarray(x) for x in batches]
+    shapes = {tuple(x.shape) for x in batches}
+    if len(shapes) != 1:
+        raise ValueError(
+            f"recalibrate_bn batches must share one shape, got {shapes}"
+        )
+    if not _BN_OVERRIDE_LOCK.acquire(blocking=False):
+        raise RuntimeError(
+            "recalibrate_bn is not reentrant: another thread holds the "
+            "BN-momentum override window"
+        )
     # momentum 1.0 makes the returned state the batch statistics exactly;
     # averaging those per-batch states gives the mean batch stats.  One
     # traced program regardless of batch count (a per-batch 1/i momentum
     # would retrace per step — a compile per batch on the chip).
     try:
         _BN_MOMENTUM_OVERRIDE = 1.0
-        measure = jax.jit(
+        lowered = jax.jit(
             lambda p, s, x: apply_yolonet(p, s, x, training=True)[1]
-        )
-        states = [measure(params, state, x) for x in batches]
+        ).lower(params, state, batches[0])
     finally:
         _BN_MOMENTUM_OVERRIDE = None
+        _BN_OVERRIDE_LOCK.release()
+    measure = lowered.compile()
+    states = [measure(params, state, x) for x in batches]
     if len(states) == 1:
         return states[0]
     return jax.tree.map(lambda *xs: sum(xs) / len(xs), *states)

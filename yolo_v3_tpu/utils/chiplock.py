@@ -21,12 +21,32 @@ training child whose parent never waited on it stays a zombie, and
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import time
 from typing import List, Optional
 
 LOCK_PATH = "/tmp/yolo_tpu_chip.lock"
+
+
+@contextlib.contextmanager
+def _mutex():
+    """flock-ed critical section for read-modify-write of the registry.
+
+    The atomic-replace write alone only prevents torn READS; two processes
+    registering concurrently could each read the old list and one record
+    would vanish on the second os.replace — exactly the invisible-second-job
+    scenario the list format exists to prevent (round-4 advisor finding).
+    A sidecar flock serializes the whole cycle; crashes can't leak it
+    (flocks die with the process)."""
+    with open(f"{LOCK_PATH}.mutex", "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
 
 
 def _read() -> List[dict]:
@@ -64,8 +84,9 @@ def _alive(pid: int) -> bool:
         return True  # no /proc — keep the conservative answer
 
 
-def _live_records() -> List[dict]:
-    """Registered records whose processes are alive, reaping the rest."""
+def _live_records_locked() -> List[dict]:
+    """Registered records whose processes are alive, reaping the rest.
+    Caller must hold ``_mutex()``."""
     recs = _read()
     live = [r for r in recs if _alive(int(r.get("pid", -1)))]
     if len(live) != len(recs):
@@ -79,6 +100,11 @@ def _live_records() -> List[dict]:
     return live
 
 
+def _live_records() -> List[dict]:
+    with _mutex():
+        return _live_records_locked()
+
+
 def holder() -> Optional[dict]:
     """The oldest live job record {pid, tag, since}, or None."""
     live = _live_records()
@@ -90,7 +116,11 @@ def acquire(tag: str) -> None:
     on existing holders (the chip tolerates overlap; the point is
     visibility for ``wait_until_free``) — EVERY caller registers, and
     late-comers are warned about who they are contending with."""
-    live = _live_records()
+    with _mutex():
+        live = _live_records_locked()
+        if not any(int(r["pid"]) == os.getpid() for r in live):
+            live.append({"pid": os.getpid(), "tag": tag, "since": time.time()})
+            _write(live)
     others = [r for r in live if int(r["pid"]) != os.getpid()]
     if others:
         import sys
@@ -102,24 +132,22 @@ def acquire(tag: str) -> None:
             "contend; serialize them (CLAUDE.md)",
             file=sys.stderr, flush=True,
         )
-    if not any(int(r["pid"]) == os.getpid() for r in live):
-        live.append({"pid": os.getpid(), "tag": tag, "since": time.time()})
-        _write(live)
 
 
 def release() -> None:
-    recs = _read()
-    mine = [r for r in recs if int(r.get("pid", -1)) == os.getpid()]
-    if not mine:
-        return
-    rest = [r for r in recs if int(r.get("pid", -1)) != os.getpid()]
-    if rest:
-        _write(rest)
-    else:
-        try:
-            os.unlink(LOCK_PATH)
-        except FileNotFoundError:
-            pass
+    with _mutex():
+        recs = _read()
+        mine = [r for r in recs if int(r.get("pid", -1)) == os.getpid()]
+        if not mine:
+            return
+        rest = [r for r in recs if int(r.get("pid", -1)) != os.getpid()]
+        if rest:
+            _write(rest)
+        else:
+            try:
+                os.unlink(LOCK_PATH)
+            except FileNotFoundError:
+                pass
 
 
 def wait_until_free(timeout_s: float = 1800.0,
