@@ -239,7 +239,15 @@ def main():
                 disp = jax.jit(functools.partial(
                     postprocess, num_classes=config.num_classes,
                     conf_thr=0.05, nms_thr=config.nms_thr))
+                # the shipped eval path (round 5): selection fused into the
+                # NMS rounds over the pair grid — no pair-list sort
                 evalp = jax.jit(functools.partial(
+                    postprocess, num_classes=config.num_classes,
+                    conf_thr=config.eval_conf_thr, nms_thr=0.45,
+                    is_eval=True, grid_nms=True,
+                    pre_nms_topk=config.eval_pre_nms_topk))
+                # the pre-round-5 truncated top-k path, kept for comparison
+                evalp_trunc = jax.jit(functools.partial(
                     postprocess, num_classes=config.num_classes,
                     conf_thr=config.eval_conf_thr, nms_thr=0.45,
                     is_eval=True,
@@ -249,11 +257,15 @@ def main():
                             for _ in range(5))
                 results["nms_ms_dense_display_p50"] = round(ds[2], 3)
                 results["nms_ms_dense_display_p90"] = round(ds[-1], 3)
-                _log("dense eval NMS bs64")
+                _log("dense eval NMS bs64 (grid)")
                 es = sorted(timeit(evalp, [dense_d], iters=5)
                             for _ in range(3))
                 results["nms_ms_dense_eval_p50"] = round(es[1], 3)
                 results["nms_ms_dense_eval_p90"] = round(es[-1], 3)
+                _log("dense eval NMS bs64 (truncated top-k)")
+                et = sorted(timeit(evalp_trunc, [dense_d], iters=5)
+                            for _ in range(3))
+                results["nms_ms_dense_eval_trunc_p50"] = round(et[1], 3)
             except Exception as e:  # pragma: no cover
                 _log(f"dense/eval bench section failed: {e!r}")
                 results["dense_eval_bench_error"] = repr(e)[:200]

@@ -133,6 +133,26 @@ class TestEvalTruncation:
         # detections the oracle keeps are gone
         assert len(got512) < len(want), (len(got512), len(want))
 
+    def test_grid_nms_is_truncation_free_at_any_budget(self, dense_scene):
+        """The fused grid path (round 5) never truncates pairs: even with
+        the unsafe 512 budget it matches the unbounded oracle (pre_nms_topk
+        only bounds the OLD path's pair list; the grid consumes the full
+        [N, C] score grid)."""
+        det, _ = dense_scene
+        out = postprocess(
+            jnp.asarray(det)[None], num_classes=C, conf_thr=CONF,
+            nms_thr=NMS, is_eval=True, pre_nms_topk=512,
+            max_detections=MAXDET, grid_nms=True,
+        )
+        rows = np.asarray(out)[0]
+        got = rows[rows[:, 7] > 0.5]
+        want = numpy_eval_oracle(det)
+        assert len(got) == len(want), (len(got), len(want))
+        np.testing.assert_allclose(got[:, :4], want[:, :4], rtol=1e-4,
+                                   atol=1e-3)
+        np.testing.assert_allclose(got[:, 5], want[:, 5], rtol=1e-5)
+        np.testing.assert_array_equal(got[:, 6], want[:, 6])
+
     def test_default_config_is_truncation_free_here(self, dense_scene):
         det, n_cand = dense_scene
         cfg = YoloConfig()

@@ -157,9 +157,11 @@ class TestFusedPostprocess:
 
         # eval_pre_nms_topk=128 matches the legacy call's explicit bound and
         # keeps the eval-mode NMS matrix small on CPU (truncation behavior is
-        # covered by tests/test_eval_truncation.py)
+        # covered by tests/test_eval_truncation.py).  eval_grid_nms=False
+        # pins the truncated top-k eval path this test is about; the grid
+        # path (truncation-free) is gated by TestGridNMS.
         cfg = YoloConfig(num_classes=6, pre_nms_topk=128, max_detections=32,
-                         eval_pre_nms_topk=128)
+                         eval_pre_nms_topk=128, eval_grid_nms=False)
         raws = [
             jnp.asarray(rng.normal(size=(2, g, g, 3 * 11)).astype(np.float32))
             for g in (4, 8, 16)
@@ -203,8 +205,10 @@ class TestApproxTopK:
         from yolo_v3_tpu.ops.decode import decode_all
         from yolo_v3_tpu.utils.config import YoloConfig
 
+        # eval_grid_nms=False: the exact-vs-approx claim is about the
+        # truncated top-k selection (the grid path never truncates)
         cfg = YoloConfig(num_classes=6, pre_nms_topk=128, max_detections=32,
-                         eval_pre_nms_topk=256)
+                         eval_pre_nms_topk=256, eval_grid_nms=False)
         raws = [
             jnp.asarray(rng.normal(size=(2, g, g, 3 * 11)).astype(np.float32))
             for g in (4, 8, 16)
@@ -215,6 +219,147 @@ class TestApproxTopK:
                                        is_eval=True, approx_topk=True)
         for a, b in zip(detections_to_lists(exact), detections_to_lists(approx)):
             assert rows_set(a) == rows_set(b)
+
+
+class TestGridNMS:
+    """nms_pairs_grid: selection fused into NMS over the [B, K, C] pair
+    grid — must reproduce exact greedy over EVERY live pair (the
+    reference's untruncated eval semantics)."""
+
+    def _grid_scene(self, seed, k=64, c=5, cluster=True):
+        rng = np.random.default_rng(seed)
+        boxes_cxy = np.zeros((k, 4), np.float32)
+        if cluster:
+            centers = rng.uniform(60, 340, (6, 2))
+            owner = rng.integers(0, 6, k)
+            boxes_cxy[:, :2] = centers[owner] + rng.normal(0, 10, (k, 2))
+        else:
+            boxes_cxy[:, :2] = rng.uniform(40, 360, (k, 2))
+        boxes_cxy[:, 2:] = rng.uniform(25, 90, (k, 2))
+        x1y1 = boxes_cxy[:, :2] - boxes_cxy[:, 2:] / 2
+        x2y2 = boxes_cxy[:, :2] + boxes_cxy[:, 2:] / 2
+        boxes = np.concatenate([x1y1, x2y2], -1)
+        scores = rng.uniform(0, 1, (k, c)).astype(np.float32)
+        scores[scores < 0.3] = 0.0          # dead lanes
+        return boxes, scores
+
+    @pytest.mark.parametrize("seed,m,block", [(0, 16, 8), (1, 24, 128),
+                                              (2, 12, 1), (3, 48, 16)])
+    def test_matches_sequential_over_all_pairs(self, seed, m, block):
+        """Oracle: nms_sequential over the flattened pair list with
+        class-offset boxes — exact greedy over every live pair."""
+        from yolo_v3_tpu.ops.postprocess import (
+            _CLASS_OFFSET, nms_pairs_grid, nms_sequential)
+
+        boxes, scores = self._grid_scene(seed)
+        k, c = scores.shape
+        flat = scores.reshape(-1)                       # lane = k_idx*C + cls
+        pair_boxes = np.repeat(boxes, c, axis=0) \
+            + (np.tile(np.arange(c), k) * _CLASS_OFFSET)[:, None]
+        sel, valid = nms_sequential(
+            jnp.asarray(pair_boxes), jnp.asarray(flat), 0.45, m)
+        sel, valid = np.asarray(sel), np.asarray(valid)
+        want = [(s // c, s % c, flat[s]) for s, v in zip(sel, valid) if v]
+
+        gb, gc, gs, gv = nms_pairs_grid(
+            jnp.asarray(scores)[None], jnp.asarray(boxes)[None], 0.45, m,
+            block=block)
+        got = [(int(b), int(cc), float(s)) for b, cc, s, v in
+               zip(np.asarray(gb)[0], np.asarray(gc)[0],
+                   np.asarray(gs)[0], np.asarray(gv)[0]) if v]
+        assert [(int(b), int(cc)) for b, cc, _ in got] \
+            == [(int(b), int(cc)) for b, cc, _ in want]
+        np.testing.assert_allclose([s for *_, s in got],
+                                   [s for *_, s in want], rtol=1e-6)
+
+    def test_descending_scores_and_prefix_valid(self):
+        from yolo_v3_tpu.ops.postprocess import nms_pairs_grid
+
+        boxes, scores = self._grid_scene(7)
+        _, _, gs, gv = nms_pairs_grid(
+            jnp.asarray(scores)[None], jnp.asarray(boxes)[None], 0.45, 32,
+            block=8)
+        gs, gv = np.asarray(gs)[0], np.asarray(gv)[0]
+        n = int(gv.sum())
+        assert gv[:n].all() and not gv[n:].any()        # contiguous prefix
+        assert np.all(np.diff(gs[:n]) <= 1e-6)
+
+    def test_batched_images_converge_independently(self):
+        """One dense image + one empty image + one single-candidate image
+        in a batch: per-image results identical to running them alone."""
+        from yolo_v3_tpu.ops.postprocess import nms_pairs_grid
+
+        b0, s0 = self._grid_scene(11)
+        b1, s1 = self._grid_scene(12)
+        s1[:] = 0.0                                     # image 1: empty
+        b2, s2 = self._grid_scene(13)
+        s2[:] = 0.0
+        s2[5, 2] = 0.9                                  # image 2: one pair
+        boxes = jnp.asarray(np.stack([b0, b1, b2]))
+        scores = jnp.asarray(np.stack([s0, s1, s2]))
+        gb, gc, gs, gv = nms_pairs_grid(scores, boxes, 0.45, 16, block=8)
+        for i, (bb, ss) in enumerate([(b0, s0), (b1, s1), (b2, s2)]):
+            sb, sc, sscore, sv = nms_pairs_grid(
+                jnp.asarray(ss)[None], jnp.asarray(bb)[None], 0.45, 16,
+                block=8)
+            np.testing.assert_array_equal(np.asarray(gv)[i], np.asarray(sv)[0])
+            nv = int(np.asarray(sv)[0].sum())
+            np.testing.assert_array_equal(np.asarray(gb)[i][:nv],
+                                          np.asarray(sb)[0][:nv])
+            np.testing.assert_array_equal(np.asarray(gc)[i][:nv],
+                                          np.asarray(sc)[0][:nv])
+        assert int(np.asarray(gv)[1].sum()) == 0
+        assert int(np.asarray(gv)[2].sum()) == 1
+
+    def test_fused_grid_path_matches_truncated_path_under_budget(self, rng):
+        """With fewer live pairs than eval_pre_nms_topk the grid path and
+        the truncated top-k path are the same algorithm — outputs must
+        match bit-for-bit."""
+        import jax
+        from yolo_v3_tpu.utils.config import YoloConfig
+
+        base = dict(num_classes=6, pre_nms_topk=128, max_detections=32,
+                    eval_pre_nms_topk=4096)
+        raws = [
+            jnp.asarray(rng.normal(size=(2, g, g, 3 * 11)).astype(np.float32))
+            for g in (4, 8, 16)
+        ]
+        # thr 0.45: few enough pairs to stay under every budget
+        grid = jax.jit(lambda rs: postprocess_from_raws(
+            rs, YoloConfig(eval_grid_nms=True, **base), 128, 0.45, 0.45,
+            is_eval=True))(raws)
+        trunc = jax.jit(lambda rs: postprocess_from_raws(
+            rs, YoloConfig(eval_grid_nms=False, **base), 128, 0.45, 0.45,
+            is_eval=True))(raws)
+        for a, b in zip(detections_to_lists(grid), detections_to_lists(trunc)):
+            assert rows_set(a) == rows_set(b)
+
+    def test_fused_grid_path_matches_unbounded_oracle_when_dense(self, rng):
+        """Above the pair budget the grid path keeps the reference's
+        untruncated semantics: compare against np_reference_postprocess
+        (no pre-NMS truncation) on a dense low-threshold scene."""
+        import jax
+        from yolo_v3_tpu.ops.decode import decode_all
+        from yolo_v3_tpu.utils.config import YoloConfig
+
+        # eval_pre_nms_topk above the box count (stage-1 keeps every box:
+        # the grid path inherits THAT truncation) but below the ~441 live
+        # pairs at thr 0.3 — so the old path's stage-2 pair truncation
+        # would differ while the grid path must match the unbounded
+        # oracle; max_detections holds all ~363 survivors.
+        raws = [
+            jnp.asarray(rng.normal(size=(2, g, g, 3 * 11)).astype(np.float32))
+            for g in (4, 8)
+        ]
+        cfg = YoloConfig(num_classes=6, pre_nms_topk=128, max_detections=512,
+                         eval_pre_nms_topk=256, eval_grid_nms=True,
+                         anchor_masks=((6, 7, 8), (3, 4, 5)))
+        fused = jax.jit(lambda rs: postprocess_from_raws(
+            rs, cfg, 128, 0.3, 0.45, is_eval=True))(raws)
+        dets = np.asarray(decode_all(raws, cfg, 128))
+        want = np_reference_postprocess(dets, 6, 0.3, 0.45, is_eval=True)
+        for g, w in zip(detections_to_lists(fused), want):
+            assert rows_set(g) == rows_set(w)
 
 
 class TestOrderFreeNMS:

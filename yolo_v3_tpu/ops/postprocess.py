@@ -39,7 +39,7 @@ import numpy as np
 from yolo_v3_tpu.ops import boxes as B
 
 __all__ = ["postprocess", "nms_fixed", "nms_sequential",
-           "nms_blocked", "detections_to_lists"]
+           "nms_blocked", "nms_pairs_grid", "detections_to_lists"]
 
 # Larger than any supported input dimension (608) so class-offset boxes of
 # distinct classes can never intersect.
@@ -257,6 +257,147 @@ def nms_blocked(
     return sel, valid
 
 
+def nms_pairs_grid(
+    live: jnp.ndarray,
+    boxes: jnp.ndarray,
+    nms_thr: float,
+    max_detections: int,
+    block: int = 128,
+) -> tuple:
+    """Exact greedy class-wise NMS fused with candidate selection, straight
+    over the [B, K, C] masked (box, class) pair-score grid — the dense-eval
+    selection + NMS in one loop, with NO pair compaction and NO sort of the
+    K*C lanes.
+
+    Motivation (round-5, closing the parked eval-selection floor): the
+    2-stage exact top-k's stage-2 cost IS its aggregation sort —
+    ``approx_max_k(recall=1.0, aggregate_to_topk=False)`` does no domain
+    reduction at all (l == n; measured 0.46 ms vs ~16 ms aggregated at
+    [64, 327k] k=4096) — so ANY path that materializes a sorted/compacted
+    top-4096 pair list pays the ~16 ms sort.  But greedy NMS only ever
+    emits ``max_detections`` (128) winners, and its suppression step
+    doesn't need sorted input: selection can ride the blocked-NMS rounds
+    directly on the grid.
+
+    Per round (all images batched):
+
+    1. top-``block`` live pairs, exactly, via the two-stage lemma: the
+       top-T pairs' boxes are contained in the top-T boxes by per-box max
+       (were box b of the i<=T-best pair outside, >= T boxes would each
+       hold a strictly better pair).  One [B, K] row-max + two small
+       ``top_k``s — never a K*C-lane sort.
+    2. greedy-resolve the T-set with the [T, T] class-offset IoU fixpoint
+       (exactly :func:`nms_blocked`'s argument: every T-set member is
+       picked or suppressed by a pick, and all picks are true global
+       picks).
+    3. sweep: kill every grid pair in a pick's class overlapping it —
+       computed as one [B,T,K] IoU mask einsum'd with the picks' class
+       one-hots into a [B, K, C] kill mask (MXU, ~3 GMAC at eval shapes).
+       Picks kill themselves (IoU 1.0) and suppressed T-set members are
+       killed by their suppressor, so the sweep alone retires the round's
+       whole resolved set.
+
+    Rounds ~= max_detections/block + suppression slack (2-4 at eval
+    shapes); each round costs ~2 full passes over the [B, K, C] grid —
+    versus the old path's 16 ms stage-2 sort PLUS 26 ms compacted-NMS.
+
+    Equivalent to stage-2 top-(K*C) selection + exact greedy NMS (i.e. to
+    greedy over EVERY pair above threshold — the reference's
+    utils.py:148-202 semantics with no pre-NMS truncation).  Matches the
+    truncated (top-4096-pair) path bit-for-bit whenever fewer than that
+    many pairs are live; beyond it, this path is the MORE faithful one
+    (the truncated path can only drop suppressors/survivors).
+
+    ``live``: [B, K, C] f32 pair scores, 0 = dead / below threshold.
+    ``boxes``: [B, K, 4] xyxy, shared across classes (class separation is
+    handled by the picks' class one-hots, not box offsetting).
+    Returns (sel_box [B, M] int32 into K, sel_cls [B, M] int32,
+    sel_score [B, M] f32, valid [B, M] bool), picks in descending score
+    order (the round-r+1 ceiling is round r's floor, as in nms_blocked).
+    """
+    bsz, k, c = live.shape
+    t = min(block, k * c)
+    m = max_detections
+
+    def cond(carry):
+        live, *_ = carry
+        return jnp.any(live > 0.0)
+
+    def body(carry):
+        live, sel_box, sel_cls, sel_score, valid, count = carry
+        box_max = jnp.max(live, axis=-1)                    # [B, K]
+        t_box = min(t, k)
+        _, bi = jax.lax.top_k(box_max, t_box)               # [B, Tb]
+        bi = bi.astype(jnp.int32)
+        sub = jnp.take_along_axis(live, bi[..., None], axis=1)  # [B, Tb, C]
+        ts, pi = jax.lax.top_k(sub.reshape(bsz, t_box * c), t)
+        pi = pi.astype(jnp.int32)
+        p_cls = pi % c                                      # [B, T]
+        p_box = jnp.take_along_axis(bi, pi // c, axis=1)    # [B, T] into K
+        tvalid = ts > 0.0
+
+        tb = jnp.take_along_axis(boxes, p_box[..., None], axis=1)  # [B,T,4]
+        shifted = tb + (p_cls.astype(jnp.float32) * _CLASS_OFFSET)[..., None]
+        iou_tt = B.iou_matrix(shifted, shifted)             # [B, T, T]
+        idx = jnp.arange(t)
+        overlap = (idx[:, None] < idx[None, :]) & (iou_tt > nms_thr)
+
+        def fcond(fc):
+            keep, prev, it = fc
+            return (it < t) & jnp.any(keep != prev)
+
+        def fbody(fc):
+            keep, _, it = fc
+            suppressed = jnp.any(overlap & keep[..., :, None], axis=-2)
+            return tvalid & ~suppressed, keep, it + 1
+
+        keep, _, _ = jax.lax.while_loop(
+            fcond, fbody,
+            (tvalid, jnp.zeros_like(tvalid), jnp.int32(0)))
+
+        # emit picks at their global positions (scores descend across
+        # rounds: remaining live <= the T-th score <= every pick's score)
+        pos = count[:, None] + jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+        wpos = jnp.where(keep, pos, m)                      # m = drop slot
+        emit = jax.vmap(lambda s, w, v: s.at[w].set(v, mode="drop"))
+        sel_box = emit(sel_box, wpos, p_box)
+        sel_cls = emit(sel_cls, wpos, p_cls)
+        sel_score = emit(sel_score, wpos, ts)
+        valid = emit(valid, wpos, keep)
+        count = count + keep.sum(axis=1, dtype=jnp.int32)
+
+        # sweep: one [B, T, K] IoU mask x [B, T, C] class one-hot -> kill
+        iou_pk = B.iou_matrix(tb, boxes)                    # [B, T, K]
+        m1 = (keep[..., :, None] & (iou_pk > nms_thr)).astype(jnp.float32)
+        m2 = jax.nn.one_hot(p_cls, c, dtype=jnp.float32) \
+            * keep[..., :, None].astype(jnp.float32)
+        kill = jnp.einsum("btk,btc->bkc", m1, m2)
+        live = jnp.where(kill > 0.0, 0.0, live)
+        # retire the resolved T-set explicitly as well: guarantees >= T
+        # lanes of progress per round even when degenerate (zero-area)
+        # boxes yield NaN IoUs (NaN > thr is False, so such picks don't
+        # self-kill via the sweep — matching the reference's "degenerate
+        # boxes suppress nothing" semantics without looping forever).
+        # Dead sub-lanes point at grid cells that are already <= 0.
+        live = jax.vmap(lambda l, pb, pc: l.at[pb, pc].set(0.0))(
+            live, p_box, p_cls)
+        # freeze finished images so the loop ends with the slowest one
+        live = jnp.where((count >= m)[:, None, None], 0.0, live)
+        return live, sel_box, sel_cls, sel_score, valid, count
+
+    carry = (
+        live.astype(jnp.float32),
+        jnp.zeros((bsz, m), jnp.int32),
+        jnp.zeros((bsz, m), jnp.int32),
+        jnp.zeros((bsz, m), jnp.float32),
+        jnp.zeros((bsz, m), bool),
+        jnp.zeros((bsz,), jnp.int32),
+    )
+    _, sel_box, sel_cls, sel_score, valid, _ = jax.lax.while_loop(
+        cond, body, carry)
+    return sel_box, sel_cls, sel_score, valid
+
+
 def nms_sequential(
     boxes_xyxy: jnp.ndarray,
     scores: jnp.ndarray,
@@ -375,7 +516,7 @@ def _postprocess_single(
     jax.jit,
     static_argnames=(
         "num_classes", "conf_thr", "nms_thr", "is_eval", "use_nms",
-        "pre_nms_topk", "max_detections",
+        "pre_nms_topk", "max_detections", "grid_nms",
     ),
 )
 def postprocess(
@@ -387,13 +528,40 @@ def postprocess(
     use_nms: bool = True,
     pre_nms_topk: int = 512,
     max_detections: int = 128,
+    grid_nms: bool = False,
 ) -> jnp.ndarray:
     """Batched postprocess: [B, N, 5+C] decoded detections -> [B, M, 8]
     (x1, y1, x2, y2, obj, prob, cls, valid), device-resident.
 
     Drop-in for the reference ``postprocessing`` (utils.py:226-258) with
     fixed shapes.
+
+    ``grid_nms=True`` (eval + NMS only) fuses candidate selection into the
+    NMS rounds over the full [B, N, C] pair grid (:func:`nms_pairs_grid`):
+    no ``pre_nms_topk`` pair truncation at all — exact greedy over every
+    pair above threshold, the reference's unbounded semantics.  This is the
+    same algorithm the fused raw-head path uses when
+    ``config.eval_grid_nms`` is set.
     """
+    if is_eval and use_nms and grid_nms:
+        det = detections.astype(jnp.float32)
+        xyxy = B.cxcywh_to_x1y1x2y2(det[..., :4])          # [B, N, 4]
+        obj = det[..., 4]
+        probs = det[..., 5:5 + num_classes] * obj[..., None]
+        live = jnp.where(probs > conf_thr, probs, 0.0)
+        sel_box, sel_cls, sel_score, valid = nms_pairs_grid(
+            live, xyxy, nms_thr, max_detections)
+        out = jnp.concatenate(
+            [
+                jnp.take_along_axis(xyxy, sel_box[..., None], axis=1),
+                jnp.take_along_axis(obj, sel_box, axis=1)[..., None],
+                sel_score[..., None],
+                sel_cls.astype(jnp.float32)[..., None],
+                valid.astype(jnp.float32)[..., None],
+            ],
+            axis=-1,
+        )
+        return out * valid[..., None].astype(jnp.float32)
     fn = functools.partial(
         _postprocess_single,
         num_classes=num_classes,
@@ -678,6 +846,41 @@ def postprocess_from_raws(
         sub_probs = jax.nn.sigmoid(rows16[..., 5:].astype(jnp.float32)) \
             * jax.nn.sigmoid(sub_obj_l)[..., None]
         sub_masked = jnp.where(sub_probs > conf_thr, sub_probs, 0.0)
+
+        if use_nms and not approx_topk and getattr(
+                config, "eval_grid_nms", False):
+            # Fused selection+NMS over the pair grid (see nms_pairs_grid):
+            # decode boxes for ALL n_box stage-1 rows (they feed the IoU
+            # sweeps), run the grid loop, then gather the M=128 winners —
+            # the only narrow gathers are at K=M (cheap; the 2-20 ms
+            # gather trap is at K=4096).
+            a_cx, a_cy, a_aw, a_ah, a_st = _constants_from_index(
+                bi, shapes, config.anchor_masks, config.anchors,
+                img_dim, nA)
+            rows32 = rows16[..., :4].astype(jnp.float32)
+            abx = (jax.nn.sigmoid(rows32[..., 0]) + a_cx) * a_st
+            aby = (jax.nn.sigmoid(rows32[..., 1]) + a_cy) * a_st
+            abw = jnp.exp(rows32[..., 2]) * a_aw
+            abh = jnp.exp(rows32[..., 3]) * a_ah
+            boxes_all = jnp.stack(
+                [abx - abw / 2, aby - abh / 2,
+                 abx + abw / 2, aby + abh / 2], -1)          # [B, n_box, 4]
+            sel_box, sel_cls, sel_score, valid = nms_pairs_grid(
+                sub_masked, boxes_all, nms_thr, m)
+            obj_all = jax.nn.sigmoid(sub_obj_l)              # [B, n_box]
+            out = jnp.concatenate(
+                [
+                    jnp.take_along_axis(
+                        boxes_all, sel_box[..., None], axis=1),
+                    jnp.take_along_axis(obj_all, sel_box, axis=1)[..., None],
+                    sel_score[..., None],
+                    sel_cls.astype(jnp.float32)[..., None],
+                    valid.astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )
+            return out * valid[..., None].astype(jnp.float32)
+
         pair_scores = sub_masked.reshape(sub_masked.shape[0], n_box * C)
         if approx_topk:
             top_score, pi = jax.lax.approx_max_k(

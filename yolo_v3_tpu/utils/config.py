@@ -81,6 +81,12 @@ class YoloConfig:
     # ~850k eval candidates but is an approximation: parity runs default to
     # reference-exact; flip on for serving-style bulk eval.
     eval_approx_topk: bool = False
+    # Eval selection fused into the NMS rounds (ops/postprocess.py::
+    # nms_pairs_grid): exact greedy over EVERY pair above threshold, no
+    # pair-list sort/compaction — replaces the 2-stage top-k + blocked NMS
+    # whenever use_nms is on.  Off -> the truncated top-k path (also used
+    # when eval_approx_topk relaxes exactness).
+    eval_grid_nms: bool = True
 
     @property
     def num_scales(self) -> int:
