@@ -168,6 +168,159 @@ class TestShardedTrainingParity:
                                        atol=2e-4)
 
 
+def _run_isolated(nodeid: str, env_flag: str):
+    """Run ``nodeid`` in a fresh subprocess with one crash-retry — the
+    documented workaround for the known XLA-CPU SIGABRT when tracing
+    mesh-sharded steps late in the suite (see
+    TestShardedTrainingParity.test_two_host_shards_train_like_one_host).
+    Returns True when the caller IS the child and should run the body."""
+    import subprocess
+    import sys
+
+    if os.environ.get(env_flag) == "1":
+        return True
+    env = dict(os.environ, **{env_flag: "1"}, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    crashes = []
+    for attempt in range(2):
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             os.path.abspath(__file__) + "::" + nodeid],
+            env=env, capture_output=True, text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        if r.returncode == 0:
+            if crashes:
+                print(f"isolated child crashed once before passing "
+                      f"(known SIGABRT workaround): {crashes[0]!r}")
+            return False
+        crash = ("Aborted" in r.stderr or "Fatal Python error" in r.stderr
+                 or r.returncode < 0)
+        if not crash:
+            break
+        crashes.append(f"attempt {attempt}: rc={r.returncode}, "
+                       f"stderr tail: {r.stderr[-400:]}")
+    raise AssertionError(
+        f"child run failed after {len(crashes)} crash(es): {crashes}\n"
+        f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}")
+
+
+class TestSpaceShardedParity:
+    """Numerical parity for the spatially-sharded (``space`` axis) path —
+    halo exchange under height-sharded stride-2 convs is exactly what can
+    silently produce wrong numbers while compiling fine (VERDICT r4 #2).
+    Every pre-round-5 parity test used space=1; these pin space=2 against
+    the single-device numbers."""
+
+    def test_space2_train_step_matches_single_device(self, coco_dir):
+        if not _run_isolated(
+                "TestSpaceShardedParity::test_space2_train_step_matches_"
+                "single_device", "YOLO_SPACE_PARITY_CHILD"):
+            return
+        params, state = D.init_yolonet(jax.random.PRNGKey(0), CFG.num_classes,
+                                       blocks=(1, 1, 1, 1, 1))
+        tcfg = TrainConfig(lr=1e-3, backbone_lr=1e-4)
+        tx = make_optimizer(params, tcfg)
+        step = make_train_step(CFG, tx)
+
+        rng = np.random.default_rng(7)
+        S, B, dim = 2, 4, 64
+        imgs = rng.uniform(0, 1, (S, B, dim, dim, 3)).astype(np.float32)
+        labels = np.zeros((S, B, 10, 5), np.float32)
+        labels[..., 0, :] = [1, 0.5, 0.5, 0.3, 0.3]
+        labels[..., 1, :] = [0, 0.3, 0.6, 0.2, 0.4]
+
+        def run(mesh=None):
+            p, s, o = params, state, tx.init(params)
+            i, l = jnp.asarray(imgs), jnp.asarray(labels)
+            if mesh is not None:
+                p, s, o = (M.replicate(mesh, t) for t in (p, s, o))
+                i = M.shard_batch(mesh, i,
+                                  M.P(None, M.DATA_AXIS, M.SPACE_AXIS))
+                l = M.shard_batch(mesh, l, M.P(None, M.DATA_AXIS))
+            p2, s2, _, stats = step(p, s, o, i, l)
+            return p2, s2, stats
+
+        mesh = M.make_mesh(8, space=2)      # (4, 2): dp x spatial
+        got_p, got_s, got_st = run(mesh)
+        want_p, want_s, want_st = run()
+
+        # FORWARD parity, tight: raw f32 head activations under the
+        # height-sharded mesh vs single device.  This is the direct halo
+        # check — a wrong/missing halo exchange corrupts boundary rows of
+        # every conv output immediately.
+        fwd = jax.jit(lambda p, s, x: D.apply_yolonet(
+            p, s, x, training=True)[0])
+        x1 = jnp.asarray(imgs[0])
+        want_raws = fwd(params, state, x1)
+        with mesh:
+            got_raws = fwd(M.replicate(mesh, params),
+                           M.replicate(mesh, state),
+                           M.shard_batch(
+                               mesh, x1, M.P(M.DATA_AXIS, M.SPACE_AXIS)))
+        for a, b in zip(got_raws, want_raws):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+        for k in ("loss", "nGT", "nCorrect", "loss_xy", "loss_wh",
+                  "loss_conf", "loss_cls"):
+            if k in want_st:
+                np.testing.assert_allclose(
+                    float(got_st[k]), float(want_st[k]),
+                    rtol=2e-4, atol=2e-4, err_msg=k)
+        # BACKWARD/update parity.  This test CAUGHT a real miscompile:
+        # under the Shardy partitioner (this jax's default) the
+        # height-sharded full backbone's backward produced BN scale/bias
+        # and conv weight gradients up to ~30x too large (verified wrong
+        # against a finite-difference oracle; single-device and GSPMD
+        # agree with the oracle).  make_mesh(space>1) now forces the
+        # legacy GSPMD partitioner (parallel/mesh.py), under which the
+        # update drift collapses to reduction-order noise (measured
+        # <= 2.4e-5 absolute on every leaf in this config).
+        for a, b, p0 in zip(jax.tree.leaves(got_p),
+                            jax.tree.leaves(want_p),
+                            jax.tree.leaves(params)):
+            da = np.asarray(a) - np.asarray(p0)
+            db = np.asarray(b) - np.asarray(p0)
+            np.testing.assert_allclose(da, db, atol=2e-4)
+        for a, b in zip(jax.tree.leaves(got_s), jax.tree.leaves(want_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+    def test_space2_detect_matches_single_device(self):
+        """Height-sharded SERVING: the full detect path under a
+        (data=4, space=2) mesh must return the single-device detections
+        (XLA inserts the conv halo exchanges; decode/NMS gather the
+        sharded heads)."""
+        if not _run_isolated(
+                "TestSpaceShardedParity::test_space2_detect_matches_"
+                "single_device", "YOLO_SPACE_DETECT_CHILD"):
+            return
+        from yolo_v3_tpu.detector import detect_fn
+
+        params, state = D.init_yolonet(jax.random.PRNGKey(0), CFG.num_classes,
+                                       blocks=(1, 1, 1, 1, 1))
+        folded = D.cast_params(D.fold_batchnorm(params, state), jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32))
+        org = jnp.asarray(np.tile([[96.0, 64.0]], (8, 1)).astype(np.float32))
+
+        fn = jax.jit(lambda p, v, o: detect_fn(
+            p, v, o, CFG, conf_thr=0.3, nms_thr=0.45,
+            compute_dtype=jnp.bfloat16))
+        want = np.asarray(fn(folded, x, org))
+
+        mesh = M.make_mesh(8, space=2)
+        with mesh:
+            ps = M.replicate(mesh, folded)
+            xs = M.shard_batch(mesh, x, M.P(M.DATA_AXIS, M.SPACE_AXIS))
+            os_ = M.shard_batch(mesh, org, M.P(M.DATA_AXIS))
+            got = np.asarray(fn(ps, xs, os_))
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got[..., 7], want[..., 7])  # validity
+        np.testing.assert_allclose(got, want, atol=1e-2, rtol=1e-4)
+
+
 class TestRealTwoProcess:
     def test_two_process_train_step_matches_single(self, tmp_path):
         """REAL multi-process bring-up: two OS processes, localhost

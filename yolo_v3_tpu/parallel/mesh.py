@@ -30,7 +30,23 @@ def make_mesh(
     space: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Mesh of shape (data, space).  ``space=1`` -> pure data parallelism."""
+    """Mesh of shape (data, space).  ``space=1`` -> pure data parallelism.
+
+    ``space > 1`` also switches jax to the legacy GSPMD partitioner for
+    the rest of the process: the Shardy partitioner (this jax version's
+    default) MISCOMPILES the backward pass of the full height-sharded
+    backbone — BN scale/bias and conv weight gradients come out up to
+    ~30x too large on a (data, space) mesh (round-5 finding, verified
+    against a finite-difference oracle and bisected to the partitioner:
+    identical program under GSPMD matches the single-device gradients to
+    reduction-order noise).  Small sub-graphs don't reproduce it; the
+    full 5-stage chain does.  GSPMD is correct for every configuration
+    this repo uses, so it is the safe default whenever spatial sharding
+    is in play; pure-DP meshes leave the global config alone.
+    Regression-gated by tests/test_distributed.py::TestSpaceShardedParity.
+    """
+    if space > 1:
+        jax.config.update("jax_use_shardy_partitioner", False)
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
