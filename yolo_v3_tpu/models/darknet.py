@@ -226,14 +226,7 @@ def conv_bn_leaky(
     y = _conv(x, p["w"], stride, f32_out=False).astype(jnp.float32)
     if training:
         mean = jnp.mean(y, axis=(0, 1, 2))
-        # Explicit two-pass variance (NOT jnp.var): mathematically equal,
-        # but this form keeps the (y - mean) subtraction out of the
-        # reduction, which matters under SPMD spatial sharding — see the
-        # round-5 space-parity investigation (tests/test_distributed.py::
-        # TestSpaceShardedParity): the fused/rewritten one-pass form's
-        # backward amplified reduction noise into O(10x-gradient) errors
-        # on BN scale/bias grads on the (data, space) mesh.
-        var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2))
+        var = jnp.var(y, axis=(0, 1, 2))
         n = y.shape[0] * y.shape[1] * y.shape[2]
         # torch tracks *unbiased* variance in running stats.  Under the
         # recalibration override the biased variance is stored instead: the
