@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-5 flagship run: 5k-image / 80-class cocosim80, full reference
+# config shape (aug + native loader + multi-scale 320-608 + u8 + resume),
+# then full-pipeline validation (bf16 + int8).  Run segments sequentially;
+# each registers in the chiplock.  Usage: bash runs/fullcfg_r5/run_all.sh
+set -e
+export PYTHONPATH=/root/repo:$PYTHONPATH
+cd /root/repo
+
+[ -f /tmp/cocosim80/list.txt ] || python scratch/make_cocosim80.py /tmp/cocosim80 5000
+
+TRAIN="python -m yolo_v3_tpu.cli train \
+  --train-list /tmp/cocosim80/list.txt --names /tmp/cocosim80/cocosim80.names \
+  --multi-scale --batch-size 16 --subdivisions 2 \
+  --bf16 --feed-u8 --native-threads 2 \
+  --model-id cocosim80 --weight-dir /tmp/c80_run \
+  --metrics-jsonl runs/fullcfg_r5/m.jsonl"
+
+# segment 1: burn-in + high LR
+$TRAIN --lr 5e-4 --burn-in 50 --max-net-batches 800 --checkpoint-interval 200
+# segment 2: resume with decay steps (exercises the kill/resume machinery)
+$TRAIN --resume --lr 5e-4 --lr-steps 1600,1900 --max-net-batches 2000 \
+  --checkpoint-interval 400
+
+CKPT=$(ls /tmp/c80_run/cocosim80/yolov3_cocosim80_checkpoint_*.npz | sort | tail -1)
+echo "validating $CKPT"
+python runs/fullcfg_r5/validate.py "$CKPT" runs/fullcfg_r5
