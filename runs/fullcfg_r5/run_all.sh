@@ -16,10 +16,17 @@ TRAIN="python -m yolo_v3_tpu.cli train \
   --model-id cocosim80 --weight-dir /tmp/c80_run \
   --metrics-jsonl runs/fullcfg_r5/m.jsonl"
 
+# From-scratch recipe (the reference's own flagship FINETUNES
+# darknet53.conv.74 with a 10x-lower backbone LR — train.py:121-127; no
+# pretrained backbone exists in this sandbox, so full-rate backbone LR
+# and a boosted class-BCE weight stand in for it; every knob was chosen
+# by measured pilot A/Bs — see README.md "from-scratch class learning"):
+# lr 1e-3 everywhere, lambda_cls 8, ~20 epochs.
+FLAGS="--lr 1e-3 --backbone-lr 1e-3 --lambda-cls 8"
 # segment 1: burn-in + high LR
-$TRAIN --lr 5e-4 --burn-in 50 --max-net-batches 800 --checkpoint-interval 200
+$TRAIN $FLAGS --burn-in 50 --max-net-batches 800 --checkpoint-interval 200
 # segment 2: resume with decay steps (exercises the kill/resume machinery)
-$TRAIN --resume --lr 5e-4 --lr-steps 1600,1900 --max-net-batches 2000 \
+$TRAIN $FLAGS --resume --lr-steps 2600,3000 --max-net-batches 3200 \
   --checkpoint-interval 400
 
 CKPT=$(ls /tmp/c80_run/cocosim80/yolov3_cocosim80_checkpoint_*.npz | sort | tail -1)

@@ -65,25 +65,27 @@ COLORS = class_colors()
 def draw_object(img, cls, x1, y1, bw, bh):
     col = COLORS[cls]
     img[y1:y1 + bh, x1:x1 + bw] = col
-    dark = tuple(int(c * 0.35) for c in col)
-    # 4x3 mirror-symmetric dot-matrix glyph, box-relative geometry:
-    # cell (r, c) grid over the interior (10% margin); bit b of the class
-    # id fills middle-column cell r=b (bits 0-3) or BOTH side cells r=b-4
-    # (bits 4-7).  x-mirror symmetry => identical under horizontal flip.
-    mx, my = 0.10 * bw, 0.10 * bh
-    gw, gh = (bw - 2 * mx) / 3.0, (bh - 2 * my) / 4.0
-    pad_x, pad_y = 0.15 * gw, 0.15 * gh
+    # v3: glyph = BLACK dots on a WHITE inner panel (v2's dark-on-fill
+    # dots at 0.35x contrast left the class head on a slow learning
+    # trajectory; black-on-white is the maximal contrast the HSV aug and
+    # JPEG cannot touch).  4x3 mirror-symmetric dot-matrix, box-relative:
+    # bit b of the class id fills middle-column cell r=b (bits 0-3) or
+    # BOTH side cells r=b-4 (bits 4-7) — identical under horizontal flip.
+    px0, py0 = int(x1 + 0.14 * bw), int(y1 + 0.14 * bh)
+    px1, py1 = int(x1 + 0.86 * bw), int(y1 + 0.86 * bh)
+    img[py0:py1, px0:px1] = (245, 245, 245)
+    pw, ph = px1 - px0, py1 - py0
+    gw, gh = pw / 3.0, ph / 4.0
+    pad_x, pad_y = 0.18 * gw, 0.18 * gh
     for bit in range(8):
         if not (cls >> bit) & 1:
             continue
         r = bit % 4
         cols_ = (1,) if bit < 4 else (0, 2)
         for c_ in cols_:
-            ax = int(x1 + mx + c_ * gw + pad_x)
-            bx = int(x1 + mx + (c_ + 1) * gw - pad_x)
-            ay = int(y1 + my + r * gh + pad_y)
-            by = int(y1 + my + (r + 1) * gh - pad_y)
-            img[ay:by, ax:bx] = dark
+            ax, bx = int(px0 + c_ * gw + pad_x), int(px0 + (c_ + 1) * gw - pad_x)
+            ay, by = int(py0 + r * gh + pad_y), int(py0 + (r + 1) * gh - pad_y)
+            img[ay:by, ax:bx] = (8, 8, 8)
     cv2.rectangle(img, (x1, y1), (x1 + bw, y1 + bh), (250, 250, 250), 2)
 
 
@@ -118,8 +120,8 @@ def main():
         for _ in range(int(rng.integers(2, 21))):
             for _try in range(40):
                 cls = int(rng.integers(0, C))
-                bw = int(rng.integers(max(w // 14, 28), w // 4))
-                bh = int(rng.integers(max(h // 14, 28), h // 4))
+                bw = int(rng.integers(max(w // 12, 36), w // 4))
+                bh = int(rng.integers(max(h // 12, 36), h // 4))
                 x1 = int(rng.integers(0, w - bw))
                 y1 = int(rng.integers(0, h - bh))
                 core = _core(x1, y1, bw, bh)

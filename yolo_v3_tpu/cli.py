@@ -114,7 +114,8 @@ def cmd_train(args):
     from yolo_v3_tpu.utils.config import TrainConfig, YoloConfig
 
     classes = _load_class_names(args.names)
-    cfg = YoloConfig(num_classes=len(classes), img_dim=args.dim)
+    cfg = YoloConfig(num_classes=len(classes), img_dim=args.dim,
+                     lambda_cls=args.lambda_cls)
     tcfg = TrainConfig(
         batch_size=args.batch_size,
         net_subdivisions=args.subdivisions,
@@ -327,6 +328,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--subdivisions", type=int, default=4)
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--backbone-lr", type=float, default=1e-4)
+    t.add_argument("--lambda-cls", type=float, default=1.0,
+                   help="class-BCE loss weight (reference yololayer.py "
+                        "lambda constants; raise for from-scratch training "
+                        "of many-way class heads, where the reference's "
+                        "pretrained-backbone assumption doesn't hold)")
     t.add_argument("--weight-decay", type=float, default=5e-4)
     t.add_argument("--momentum", type=float, default=0.9)
     t.add_argument("--freeze-backbone", action="store_true")
