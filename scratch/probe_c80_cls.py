@@ -6,7 +6,7 @@ from yolo_v3_tpu.ops.letterbox import letterbox_host, letterbox_params
 from yolo_v3_tpu.utils import chiplock
 chiplock.acquire("probe_c80_cls")
 C = 80
-ck = load_checkpoint('/tmp/c80_run/cocosim80/yolov3_cocosim80_checkpoint_001999.npz')
+ck = load_checkpoint('/tmp/c80_pilot/c80pilot/yolov3_c80pilot_checkpoint_000399.npz')
 params, state = ck['params'], ck['state']
 paths = [l.strip() for l in open('/tmp/cocosim80/list.txt')][:16]
 imgs = np.stack([letterbox_host(cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB), (416,416)) for p in paths])
